@@ -1,0 +1,268 @@
+"""Shared Flax building blocks for the UNet / VAE / CLIP towers.
+
+TPU-native re-implementations of the diffusers/transformers layers the
+reference delegates to (reference: diffusion/models/models.py:10-14 imports
+UNet2DConditionModel/AutoencoderKL/CLIPTextModel). Everything is NHWC —
+the natural TPU conv layout — where the reference stack is NCHW; adapters
+transpose at the batch boundary.
+
+Precision policy: parameters live in fp32; `dtype` selects the compute dtype
+(bf16 in production). Norms always reduce in fp32 — this *is* the reference's
+`low_precision_groupnorm/layernorm` algorithm surface (reference:
+diffusion/train.py:91-108): norm statistics in fp32, surrounding matmuls in
+the low precision.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diffusion_tpu.ops.attention import multi_head_attention
+
+__all__ = [
+    "GroupNorm",
+    "timestep_embedding",
+    "TimestepEmbedding",
+    "ResnetBlock",
+    "Attention",
+    "FeedForwardGEGLU",
+    "BasicTransformerBlock",
+    "Transformer2D",
+    "Downsample",
+    "Upsample",
+]
+
+Dtype = Any
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with fp32 statistics regardless of compute dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        g = self.num_groups
+        spatial = x.shape[1:-1]
+        xg = x.reshape(x.shape[0], -1, g, c // g)
+        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+        var = jnp.var(xg, axis=(1, 3), keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        x = xg.reshape(x.shape[0], *spatial, c)
+        x = x * scale + bias
+        return x.astype(orig_dtype)
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0,
+                       max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (diffusers get_timestep_embedding parity).
+
+    SD2 uses flip_sin_to_cos=True, freq_shift=0 (reference UNet config).
+    Always fp32 — the embedding is tiny and feeds fp32-sensitive MLPs.
+    """
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """2-layer SiLU MLP lifting the sinusoidal embedding to time_embed_dim."""
+
+    time_embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, emb: jnp.ndarray) -> jnp.ndarray:
+        emb = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(emb)
+        return emb
+
+
+class ResnetBlock(nn.Module):
+    """GroupNorm-SiLU-Conv residual block with additive time conditioning."""
+
+    out_channels: int
+    use_time_emb: bool = True
+    groups: int = 32
+    epsilon: float = 1e-5
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        residual = x
+        h = GroupNorm(self.groups, self.epsilon, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        if self.use_time_emb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = GroupNorm(self.groups, self.epsilon, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                               name="conv_shortcut")(residual)
+        return residual + h
+
+
+class Attention(nn.Module):
+    """Multi-head attention over token sequences; optional cross-attention.
+
+    Replaces xformers memory-efficient attention with the Pallas/XLA dispatch
+    in ops/attention.py.
+    """
+
+    num_heads: int
+    head_dim: int
+    out_dim: Optional[int] = None
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        ctx = x if context is None else context
+        inner = self.num_heads * self.head_dim
+        out_dim = self.out_dim or x.shape[-1]
+        q = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_v")(ctx)
+        b, sq = q.shape[:2]
+        sk = k.shape[1]
+        q = q.reshape(b, sq, self.num_heads, self.head_dim)
+        k = k.reshape(b, sk, self.num_heads, self.head_dim)
+        v = v.reshape(b, sk, self.num_heads, self.head_dim)
+        o = multi_head_attention(q, k, v, mask=mask)
+        o = o.reshape(b, sq, inner)
+        return nn.Dense(out_dim, use_bias=True, dtype=self.dtype, name="to_out")(o)
+
+
+class FeedForwardGEGLU(nn.Module):
+    """GEGLU feed-forward: Dense->(a, b)->a*gelu(b)->Dense (diffusers FF parity)."""
+
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        a, b = jnp.split(h, 2, axis=-1)
+        h = a * nn.gelu(b)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN->self-attn, LN->cross-attn, LN->GEGLU FF, all residual (pre-LN)."""
+
+    num_heads: int
+    head_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        dim = x.shape[-1]
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
+        x = x + Attention(self.num_heads, self.head_dim, dtype=self.dtype,
+                          name="attn1")(h)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(x.dtype)
+        x = x + Attention(self.num_heads, self.head_dim, dtype=self.dtype,
+                          name="attn2")(h, context=context)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(x.dtype)
+        x = x + FeedForwardGEGLU(dim, dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: GN -> proj_in -> N blocks over HW tokens -> proj_out.
+
+    use_linear_projection=True (SD2) uses Dense projections on flattened
+    tokens; False uses 1x1 convs (SD1 geometry).
+    """
+
+    num_heads: int
+    head_dim: int
+    depth: int = 1
+    use_linear_projection: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        residual = x
+        hidden = GroupNorm(32, 1e-6, dtype=self.dtype, name="norm")(x)
+        if self.use_linear_projection:
+            hidden = hidden.reshape(b, h * w, c)
+            hidden = nn.Dense(c, dtype=self.dtype, name="proj_in")(hidden)
+        else:
+            hidden = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(hidden)
+            hidden = hidden.reshape(b, h * w, c)
+        for i in range(self.depth):
+            hidden = BasicTransformerBlock(self.num_heads, self.head_dim,
+                                           dtype=self.dtype,
+                                           name=f"blocks_{i}")(hidden, context)
+        if self.use_linear_projection:
+            hidden = nn.Dense(c, dtype=self.dtype, name="proj_out")(hidden)
+            hidden = hidden.reshape(b, h, w, c)
+        else:
+            hidden = hidden.reshape(b, h, w, c)
+            hidden = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(hidden)
+        return hidden + residual
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv (diffusers Downsample2D with conv)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x upsample + 3x3 conv (diffusers Upsample2D)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv")(x)

@@ -1,0 +1,68 @@
+"""Attention dispatch: XLA dot-product attention or the Pallas flash kernel.
+
+TPU-native replacement for the reference's xformers memory-efficient attention
+(reference: diffusion/models/models.py:20-25,107-111 enables
+`enable_xformers_memory_efficient_attention` on unet+vae when importable).
+Here the equivalent switch is `use_flash` / the DIFFUSION_TPU_FLASH_ATTN env
+var, and the kernel is Pallas (ops/flash_attention.py) instead of CUDA.
+
+All entry points take (B, S, H, D) q/k/v — batch, sequence, heads, head_dim.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["multi_head_attention", "set_default_backend"]
+
+_DEFAULT_BACKEND = os.environ.get("DIFFUSION_TPU_ATTN_BACKEND", "auto")
+
+
+def set_default_backend(backend: str) -> None:
+    """backend in {'auto', 'xla', 'flash'}."""
+    global _DEFAULT_BACKEND
+    assert backend in ("auto", "xla", "flash"), backend
+    _DEFAULT_BACKEND = backend
+
+
+def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Plain (B,S,H,D) attention; XLA fuses this well for short sequences."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         mask: Optional[jnp.ndarray] = None,
+                         backend: Optional[str] = None) -> jnp.ndarray:
+    """Scaled dot-product attention over (B, S, H, D) tensors.
+
+    'auto' uses the Pallas flash kernel on TPU for long unmasked sequences
+    (the UNet's spatial self-attention: 1024 tokens @256px, 4096 @512px) and
+    XLA attention otherwise (77-token text, masked, tiny shapes).
+    """
+    backend = backend or _DEFAULT_BACKEND
+    if backend == "flash" or (backend == "auto" and _flash_eligible(q, k, mask)):
+        from diffusion_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v)
+    return _xla_attention(q, k, v, mask)
+
+
+def _flash_eligible(q: jnp.ndarray, k: jnp.ndarray, mask) -> bool:
+    if mask is not None:
+        return False
+    if jax.default_backend() not in ("tpu",):
+        return False
+    # flash pays off once KV no longer fits comfortably alongside the
+    # (S_q x S_kv) score matrix; short cross-attention stays on XLA
+    return q.shape[1] >= 1024 and k.shape[1] >= 256 and q.shape[-1] % 64 == 0

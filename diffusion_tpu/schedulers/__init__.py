@@ -1,0 +1,5 @@
+from diffusion_tpu.schedulers.ddpm import DDPMScheduler
+from diffusion_tpu.schedulers.ddim import DDIMScheduler
+from diffusion_tpu.schedulers.continuous import ContinuousTimeScheduler, tangent_schedule
+
+__all__ = ["DDPMScheduler", "DDIMScheduler", "ContinuousTimeScheduler", "tangent_schedule"]

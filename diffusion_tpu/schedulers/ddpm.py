@@ -1,0 +1,102 @@
+"""DDPM forward-diffusion schedule as closed-form jnp tables.
+
+TPU-native equivalent of diffusers.DDPMScheduler as used by the reference for
+*training-time* forward diffusion only (reference: diffusion/models/
+stable_diffusion.py:177-180 `add_noise`, models.py:88 loads the SD2 schedule:
+beta 0.00085->0.012 scaled_linear over 1000 steps; pixel models hard-code the
+same at models.py:133-145, plus `get_velocity` for v-prediction targets,
+pixel_diffusion.py:86-94).
+
+Everything is a pure function over precomputed alpha-bar tables so `add_noise`
+traces cleanly inside a jitted train step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["DDPMScheduler", "make_beta_schedule"]
+
+
+def make_beta_schedule(schedule: str, num_timesteps: int, beta_start: float,
+                       beta_end: float) -> np.ndarray:
+    if schedule == "linear":
+        return np.linspace(beta_start, beta_end, num_timesteps, dtype=np.float64)
+    if schedule == "scaled_linear":
+        return np.linspace(beta_start ** 0.5, beta_end ** 0.5, num_timesteps,
+                           dtype=np.float64) ** 2
+    if schedule == "squaredcos_cap_v2":
+        # Nichol & Dhariwal cosine schedule
+        def abar(t: np.ndarray) -> np.ndarray:
+            return np.cos((t + 0.008) / 1.008 * np.pi / 2) ** 2
+        t = np.arange(num_timesteps, dtype=np.float64)
+        betas = 1.0 - abar((t + 1) / num_timesteps) / abar(t / num_timesteps)
+        return np.clip(betas, 0.0, 0.999)
+    raise ValueError(f"unknown beta schedule {schedule!r}")
+
+
+def _expand(t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Broadcast a per-example vector to the sample rank: (B,) -> (B,1,1,1)."""
+    return t.reshape(t.shape[0], *([1] * (ndim - 1)))
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPMScheduler:
+    """Immutable DDPM schedule; all methods are pure and jit-safe.
+
+    Matches the diffusers scheduler math: ``alphas_cumprod[t]`` tables with
+    ``add_noise(x, eps, t) = sqrt(abar_t) x + sqrt(1-abar_t) eps`` and
+    ``get_velocity(x, eps, t) = sqrt(abar_t) eps - sqrt(1-abar_t) x``.
+    """
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+    prediction_type: str = "epsilon"
+    variance_type: str = "fixed_small"
+    clip_sample: bool = False
+
+    @property
+    def betas(self) -> jnp.ndarray:
+        return jnp.asarray(
+            make_beta_schedule(self.beta_schedule, self.num_train_timesteps,
+                               self.beta_start, self.beta_end),
+            dtype=jnp.float32)
+
+    @property
+    def alphas_cumprod(self) -> jnp.ndarray:
+        betas = make_beta_schedule(self.beta_schedule, self.num_train_timesteps,
+                                   self.beta_start, self.beta_end)
+        return jnp.asarray(np.cumprod(1.0 - betas), dtype=jnp.float32)
+
+    # needed by the shared generate() protocol (duck-typed HF interface)
+    @property
+    def init_noise_sigma(self) -> float:
+        return 1.0
+
+    def __len__(self) -> int:
+        return self.num_train_timesteps
+
+    def add_noise(self, original: jnp.ndarray, noise: jnp.ndarray,
+                  timesteps: jnp.ndarray) -> jnp.ndarray:
+        abar = self.alphas_cumprod[timesteps]
+        sqrt_abar = _expand(jnp.sqrt(abar), original.ndim)
+        sqrt_1m = _expand(jnp.sqrt(1.0 - abar), original.ndim)
+        return (sqrt_abar * original.astype(jnp.float32)
+                + sqrt_1m * noise.astype(jnp.float32)).astype(original.dtype)
+
+    def get_velocity(self, sample: jnp.ndarray, noise: jnp.ndarray,
+                     timesteps: jnp.ndarray) -> jnp.ndarray:
+        abar = self.alphas_cumprod[timesteps]
+        sqrt_abar = _expand(jnp.sqrt(abar), sample.ndim)
+        sqrt_1m = _expand(jnp.sqrt(1.0 - abar), sample.ndim)
+        return (sqrt_abar * noise.astype(jnp.float32)
+                - sqrt_1m * sample.astype(jnp.float32)).astype(sample.dtype)
+
+    def scale_model_input(self, sample: jnp.ndarray, t) -> jnp.ndarray:
+        return sample

@@ -1,0 +1,179 @@
+"""Scheduler math vs closed forms (SURVEY.md §4 test strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_tpu.schedulers import (ContinuousTimeScheduler, DDIMScheduler,
+                                      DDPMScheduler, tangent_schedule)
+
+
+def _np_alphas_cumprod(n=1000, b0=0.00085, b1=0.012):
+    betas = np.linspace(b0 ** 0.5, b1 ** 0.5, n, dtype=np.float64) ** 2
+    return np.cumprod(1.0 - betas)
+
+
+def test_ddpm_alphas_cumprod_closed_form():
+    sched = DDPMScheduler()
+    np.testing.assert_allclose(np.asarray(sched.alphas_cumprod),
+                               _np_alphas_cumprod(), rtol=1e-5)
+
+
+def test_ddpm_add_noise_closed_form():
+    sched = DDPMScheduler()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 3, 8, 8)).astype(np.float32)
+    eps = rng.normal(size=(4, 3, 8, 8)).astype(np.float32)
+    t = np.array([0, 10, 500, 999])
+    got = np.asarray(sched.add_noise(jnp.asarray(x), jnp.asarray(eps), jnp.asarray(t)))
+    abar = _np_alphas_cumprod()[t].reshape(-1, 1, 1, 1)
+    want = np.sqrt(abar) * x + np.sqrt(1 - abar) * eps
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ddpm_velocity_closed_form():
+    sched = DDPMScheduler()
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 3, 4, 4)).astype(np.float32)
+    eps = rng.normal(size=(2, 3, 4, 4)).astype(np.float32)
+    t = np.array([100, 900])
+    got = np.asarray(sched.get_velocity(jnp.asarray(x), jnp.asarray(eps), jnp.asarray(t)))
+    abar = _np_alphas_cumprod()[t].reshape(-1, 1, 1, 1)
+    want = np.sqrt(abar) * eps - np.sqrt(1 - abar) * x
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ddim_timestep_sequence():
+    sched = DDIMScheduler(steps_offset=1)
+    ts, tp = sched.timesteps(50)
+    assert ts.shape == (50,)
+    assert ts[0] == 981 and ts[-1] == 1   # 1000//50=20 spacing, +1 offset
+    assert np.all(ts - tp == 20)
+    assert tp[-1] == -19                   # negative => final alpha
+
+
+@pytest.mark.parametrize("prediction_type", ["epsilon", "sample", "v_prediction"])
+def test_ddim_step_closed_form(prediction_type):
+    sched = DDIMScheduler(prediction_type=prediction_type)
+    abar = _np_alphas_cumprod()
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 4, 4, 4)).astype(np.float32)
+    out = rng.normal(size=(2, 4, 4, 4)).astype(np.float32)
+    t, t_prev = 981, 961
+    got = np.asarray(sched.step(jnp.asarray(out), jnp.asarray(t), jnp.asarray(t_prev),
+                                jnp.asarray(x)))
+    a_t, a_p = abar[t], abar[t_prev]
+    if prediction_type == "epsilon":
+        x0 = (x - np.sqrt(1 - a_t) * out) / np.sqrt(a_t); eps = out
+    elif prediction_type == "sample":
+        x0 = out; eps = (x - np.sqrt(a_t) * x0) / np.sqrt(1 - a_t)
+    else:
+        x0 = np.sqrt(a_t) * x - np.sqrt(1 - a_t) * out
+        eps = np.sqrt(a_t) * out + np.sqrt(1 - a_t) * x
+    want = np.sqrt(a_p) * x0 + np.sqrt(1 - a_p) * eps
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ddim_final_step_uses_final_alpha():
+    sched = DDIMScheduler(set_alpha_to_one=False)
+    abar = _np_alphas_cumprod()
+    x = np.ones((1, 2, 2, 2), np.float32)
+    out = np.zeros_like(x)
+    got = np.asarray(sched.step(jnp.asarray(out), jnp.asarray(1), jnp.asarray(-19),
+                                jnp.asarray(x)))
+    a_t, a_p = abar[1], abar[0]  # final_alpha_cumprod = abar[0]
+    want = np.sqrt(a_p) * (x / np.sqrt(a_t))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_ddim_denoises_toy_gaussian():
+    """Sampling with the exact epsilon-predictor recovers x0 for a known x0."""
+    sched = DDIMScheduler()
+    x0 = jnp.asarray(np.random.default_rng(3).normal(size=(1, 4, 2, 2)).astype(np.float32))
+    abar = sched.alphas_cumprod
+    ts, tps = sched.timesteps(50)
+    eps_true = jnp.asarray(np.random.default_rng(4).normal(size=x0.shape).astype(np.float32))
+    x = jnp.sqrt(abar[int(ts[0])]) * x0 + jnp.sqrt(1 - abar[int(ts[0])]) * eps_true
+
+    def body(x, t_pair):
+        t, tp = t_pair
+        # oracle epsilon for this xt given fixed x0
+        a_t = abar[t]
+        eps = (x - jnp.sqrt(a_t) * x0) / jnp.sqrt(1 - a_t)
+        return sched.step(eps, t, tp, x), None
+
+    x_final, _ = jax.lax.scan(body, x, (jnp.asarray(ts), jnp.asarray(tps)))
+    # With set_alpha_to_one=False the endpoint is abar[0], not 1: the exact
+    # trajectory terminates at sqrt(abar0) x0 + sqrt(1-abar0) eps_true.
+    a0 = abar[0]
+    want = jnp.sqrt(a0) * x0 + jnp.sqrt(1 - a0) * eps_true
+    np.testing.assert_allclose(np.asarray(x_final), np.asarray(want), rtol=1e-3, atol=1e-4)
+
+
+def test_tangent_schedule():
+    t = jnp.asarray([0.0, 0.5, 1.0])
+    beta, sin_phi, cos_phi = tangent_schedule(t)
+    np.testing.assert_allclose(np.asarray(beta), 2 * np.tan([0.0, 0.5, 1.0]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sin_phi), np.sin([0.0, 0.5, 1.0]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cos_phi), np.cos([0.0, 0.5, 1.0]), rtol=1e-5)
+
+
+def test_continuous_add_noise_and_velocity():
+    sched = ContinuousTimeScheduler()
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(3, 3, 4, 4)).astype(np.float32)
+    eps = rng.normal(size=(3, 3, 4, 4)).astype(np.float32)
+    t = np.array([0.1, 0.7, 1.5], np.float32)
+    noised = np.asarray(sched.add_noise(jnp.asarray(x), jnp.asarray(eps), jnp.asarray(t)))
+    tb = t.reshape(-1, 1, 1, 1)
+    np.testing.assert_allclose(noised, np.cos(tb) * x + np.sin(tb) * eps,
+                               rtol=1e-4, atol=1e-6)
+    vel = np.asarray(sched.get_velocity(jnp.asarray(x), jnp.asarray(eps), jnp.asarray(t)))
+    np.testing.assert_allclose(vel, -np.sin(tb) * x + np.cos(tb) * eps,
+                               rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("prediction_type", ["epsilon", "sample", "v_prediction"])
+def test_continuous_ode_step_closed_form(prediction_type):
+    sched = ContinuousTimeScheduler(t_max=1.56, num_inference_timesteps=50,
+                                    prediction_type=prediction_type, use_ode=True)
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(1, 3, 2, 2)).astype(np.float32)
+    out = rng.normal(size=(1, 3, 2, 2)).astype(np.float32)
+    t = 1.0
+    got = np.asarray(sched.step(jnp.asarray(out), jnp.asarray(t, np.float32),
+                                jnp.asarray(t - 1.56 / 50, np.float32), jnp.asarray(x)))
+    beta, s, c = 2 * np.tan(t), np.sin(t), np.cos(t)
+    dt = 1.56 / 50
+    if prediction_type == "sample":
+        x0 = out
+    elif prediction_type == "epsilon":
+        x0 = (x - s * out) / c
+    else:
+        x0 = c * x - s * out
+    score = -(x - c * x0) / s ** 2
+    want = x + 0.5 * (x + score) * beta * dt
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_continuous_sde_step_noise_term():
+    sched = ContinuousTimeScheduler(use_ode=False)
+    x = jnp.ones((1, 2, 2, 2), jnp.float32)
+    out = jnp.zeros_like(x)
+    noise = jnp.ones_like(x)
+    t = jnp.asarray(1.0, jnp.float32)
+    got = sched.step(out, t, t - sched.t_max / 50, x, noise=noise)
+    beta = 2 * np.tan(1.0)
+    dt = sched.t_max / 50
+    x0 = 1.0 / np.cos(1.0)
+    score = -(1.0 - np.cos(1.0) * x0) / np.sin(1.0) ** 2
+    want = 1.0 + (0.5 * 1.0 + score) * beta * dt + np.sqrt(beta * dt) * 1.0
+    np.testing.assert_allclose(np.asarray(got), np.full_like(np.asarray(got), want), rtol=1e-4)
+
+
+def test_continuous_step_requires_noise_for_sde():
+    sched = ContinuousTimeScheduler(use_ode=False)
+    x = jnp.ones((1, 2, 2, 2))
+    with pytest.raises(ValueError):
+        sched.step(x, jnp.asarray(1.0), jnp.asarray(0.9), x, noise=None)
