@@ -164,17 +164,17 @@ class AutoencoderKL(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.config, dtype=self.dtype)
         self.decoder = Decoder(self.config, dtype=self.dtype)
+        self.quant_conv = nn.Conv(2 * self.config.latent_channels, (1, 1),
+                                  dtype=self.dtype)
+        self.post_quant_conv = nn.Conv(self.config.latent_channels, (1, 1),
+                                       dtype=self.dtype)
 
     def encode(self, x: jnp.ndarray) -> DiagonalGaussian:
-        moments = self.encoder(x)
-        moments = nn.Conv(2 * self.config.latent_channels, (1, 1),
-                          dtype=self.dtype, name="quant_conv")(moments)
+        moments = self.quant_conv(self.encoder(x))
         return DiagonalGaussian(moments.astype(jnp.float32))
 
     def decode(self, z: jnp.ndarray) -> jnp.ndarray:
-        z = nn.Conv(self.config.latent_channels, (1, 1), dtype=self.dtype,
-                    name="post_quant_conv")(z.astype(self.dtype))
-        return self.decoder(z)
+        return self.decoder(self.post_quant_conv(z.astype(self.dtype)))
 
     def __call__(self, x: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
         posterior = self.encode(x)
