@@ -215,6 +215,7 @@ class Transformer2D(nn.Module):
     head_dim: int
     depth: int = 1
     use_linear_projection: bool = True
+    groups: int = 32
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -222,7 +223,7 @@ class Transformer2D(nn.Module):
                  context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         b, h, w, c = x.shape
         residual = x
-        hidden = GroupNorm(32, 1e-6, dtype=self.dtype, name="norm")(x)
+        hidden = GroupNorm(self.groups, 1e-6, dtype=self.dtype, name="norm")(x)
         if self.use_linear_projection:
             hidden = hidden.reshape(b, h * w, c)
             hidden = nn.Dense(c, dtype=self.dtype, name="proj_in")(hidden)

@@ -1,0 +1,145 @@
+"""Model builders — the `_target_`s referenced from yaml configs.
+
+TPU-native equivalent of the reference's constructor registry (reference:
+diffusion/models/models.py): `stable_diffusion_2` (ref :28-112),
+`discrete_pixel_diffusion` (ref :115-174), `continuous_pixel_diffusion`
+(ref :177-228). Differences by design:
+
+- `encode_latents_in_fp16` maps to **bfloat16** compute — the TPU-native low
+  precision (fp16 autocast is a CUDA idiom; bf16 needs no loss scaling).
+- xformers enablement (ref :107-111) is replaced by the Pallas flash-attention
+  dispatch, on by default on TPU (ops/attention.py).
+- `pretrained` loads from a local HF checkpoint directory via
+  models/port_hf.py instead of the network hub (this environment is
+  zero-egress); pretrained=False (the production configs' setting,
+  yamls/hydra-yamls/SD-2-base-256.yaml:16) initializes from config geometry.
+- metric construction (`val_metrics` names, per-guidance-scale fan-out) is
+  resolved by the trainer's evaluator (metrics/), not baked into the model.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from diffusion_tpu.models.clip import (CLIPTextModel, SD2_TEXT_CONFIG,
+                                       VIT_L14_TEXT_CONFIG)
+from diffusion_tpu.models.pixel_diffusion import PixelDiffusion
+from diffusion_tpu.models.stable_diffusion import StableDiffusion
+from diffusion_tpu.models.unet import PIXEL_UNET, SD2_BASE_UNET, UNet2DCondition
+from diffusion_tpu.models.vae import SD2_VAE, AutoencoderKL
+from diffusion_tpu.schedulers import (ContinuousTimeScheduler, DDIMScheduler,
+                                      DDPMScheduler)
+from diffusion_tpu.text.tokenizer import CLIPTokenizer, tiny_tokenizer
+
+__all__ = ["stable_diffusion_2", "discrete_pixel_diffusion",
+           "continuous_pixel_diffusion"]
+
+
+def _load_tokenizer(path: Optional[str]) -> CLIPTokenizer:
+    if path and os.path.exists(path):
+        return CLIPTokenizer.from_pretrained(path)
+    return tiny_tokenizer()
+
+
+def stable_diffusion_2(
+    model_name: Optional[str] = None,
+    pretrained: bool = False,
+    train_metrics: Optional[List[str]] = None,
+    val_metrics: Optional[List[Any]] = None,
+    val_guidance_scales: Optional[List[float]] = None,
+    val_seed: int = 1138,
+    loss_bins: Optional[List] = None,
+    precomputed_latents: bool = False,
+    encode_latents_in_fp16: bool = True,
+    fsdp: bool = True,
+    remat: bool = False,
+) -> StableDiffusion:
+    """SD-2.0-base training setup (reference models.py:28-112).
+
+    Args mirror the reference's builder; `model_name` is a *local* HF
+    checkpoint dir when `pretrained=True` (zero-egress environment).
+    `fsdp` is recorded on the model for the trainer's sharder (the reference
+    sets _fsdp_wrap flags, stable_diffusion.py:148-152; here sharding is a
+    pjit partition-spec decision in parallel/sharding.py).
+    """
+    dtype = jnp.bfloat16 if encode_latents_in_fp16 else jnp.float32
+    unet = UNet2DCondition(SD2_BASE_UNET, dtype=dtype, remat=remat)
+    vae = AutoencoderKL(SD2_VAE, dtype=dtype)
+    text_encoder = CLIPTextModel(SD2_TEXT_CONFIG, dtype=dtype)
+    tokenizer = _load_tokenizer(model_name)
+    noise_scheduler = DDPMScheduler()          # SD2: 0.00085->0.012 scaled_linear
+    inference_scheduler = DDIMScheduler()
+
+    if pretrained and not (model_name and os.path.isdir(model_name)):
+        raise FileNotFoundError(
+            "pretrained=True requires model_name to be a local HF "
+            "checkpoint directory (no network in this environment)")
+    return StableDiffusion(
+        unet=unet, vae=vae, text_encoder=text_encoder, tokenizer=tokenizer,
+        noise_scheduler=noise_scheduler, inference_scheduler=inference_scheduler,
+        precomputed_latents=precomputed_latents,
+        val_seed=val_seed,
+        val_guidance_scales=tuple(val_guidance_scales or ()),
+        loss_bins=tuple(tuple(b) for b in (loss_bins or [(0, 1)])),
+        train_metric_names=tuple(train_metrics or ("MeanSquaredError",)),
+        val_metric_names=tuple(val_metrics or ("MeanSquaredError",
+                                               "FrechetInceptionDistance")),
+        fsdp=bool(fsdp),
+        pretrained_path=model_name if pretrained else None,
+    )
+
+
+def _pixel_schedulers(prediction_type: str) -> Tuple[DDPMScheduler, DDIMScheduler]:
+    """Hard-coded pixel schedulers (reference models.py:133-158)."""
+    train = DDPMScheduler(num_train_timesteps=1000, beta_start=0.00085,
+                          beta_end=0.012, beta_schedule="scaled_linear",
+                          variance_type="fixed_small", clip_sample=False,
+                          prediction_type=prediction_type)
+    infer = DDIMScheduler(num_train_timesteps=1000, beta_start=0.00085,
+                          beta_end=0.012, beta_schedule="scaled_linear",
+                          clip_sample=False, set_alpha_to_one=False,
+                          steps_offset=1, prediction_type=prediction_type)
+    return train, infer
+
+
+def discrete_pixel_diffusion(clip_model_name: Optional[str] = None,
+                             prediction_type: str = "epsilon",
+                             encode_in_bf16: bool = True) -> PixelDiffusion:
+    """Pixel-space diffusion with discrete DDPM/DDIM (reference models.py:115-174):
+    3->3ch UNet, heads (5,10,20,20), cross-attention 768, CLIP-ViT-L/14 text."""
+    dtype = jnp.bfloat16 if encode_in_bf16 else jnp.float32
+    unet = UNet2DCondition(PIXEL_UNET, dtype=dtype)
+    text_encoder = CLIPTextModel(VIT_L14_TEXT_CONFIG, dtype=dtype)
+    tokenizer = _load_tokenizer(clip_model_name)
+    noise_scheduler, inference_scheduler = _pixel_schedulers(prediction_type)
+    return PixelDiffusion(unet=unet, text_encoder=text_encoder,
+                          tokenizer=tokenizer, noise_scheduler=noise_scheduler,
+                          inference_scheduler=inference_scheduler,
+                          prediction_type=prediction_type)
+
+
+def continuous_pixel_diffusion(clip_model_name: Optional[str] = None,
+                               prediction_type: str = "epsilon",
+                               use_ode: bool = False,
+                               train_t_max: float = 1.570795,
+                               inference_t_max: float = 1.56,
+                               encode_in_bf16: bool = True) -> PixelDiffusion:
+    """Continuous-time VP diffusion in pixel space (reference models.py:177-228):
+    same UNet/CLIP; tangent-schedule scheduler for train and inference, with
+    optional probability-flow-ODE sampling."""
+    dtype = jnp.bfloat16 if encode_in_bf16 else jnp.float32
+    unet = UNet2DCondition(PIXEL_UNET, dtype=dtype)
+    text_encoder = CLIPTextModel(VIT_L14_TEXT_CONFIG, dtype=dtype)
+    tokenizer = _load_tokenizer(clip_model_name)
+    noise_scheduler = ContinuousTimeScheduler(t_max=train_t_max,
+                                              prediction_type=prediction_type)
+    inference_scheduler = ContinuousTimeScheduler(t_max=inference_t_max,
+                                                  prediction_type=prediction_type,
+                                                  use_ode=use_ode)
+    return PixelDiffusion(unet=unet, text_encoder=text_encoder,
+                          tokenizer=tokenizer, noise_scheduler=noise_scheduler,
+                          inference_scheduler=inference_scheduler,
+                          prediction_type=prediction_type, continuous_time=True)

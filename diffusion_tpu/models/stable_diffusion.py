@@ -1,0 +1,209 @@
+"""StableDiffusion model adapter: training forward/loss + CFG DDIM generation.
+
+TPU-native equivalent of the reference's ComposerModel adapter (reference:
+diffusion/models/stable_diffusion.py). Same semantics, functional style:
+
+- `forward(params, batch, rng)`: precomputed-latent fast path (ref :157-158)
+  else VAE-encode + CLIP-encode (ref :160-172), x0.18215 latent scale
+  (ref :174), uniform timesteps (ref :177), DDPM `add_noise` (ref :179-180),
+  UNet predicts noise (ref :183). Returns (pred, target, timesteps).
+- `loss`: MSE(pred, target) (ref :185-187).
+- `generate`: classifier-free-guidance DDIM sampling with the 2x-batched CFG
+  trick (ref :336-375), VAE decode /0.18215 and [0,1] clamp (ref :379-382) —
+  but the 50-step denoise loop is a single `jax.lax.scan` compiled once,
+  instead of 50 Python-dispatched scheduler calls.
+
+Everything is a pure function of an explicit param pytree: `params` carries
+only the trainable UNet; the frozen VAE/text-encoder live in `frozen`
+(reference freezes them via requires_grad_(False), ref :143-144 — here they
+are simply never given to the optimizer, and the fp16-cast option maps to
+bf16 compute, the TPU-native low precision).
+
+Batch contract (NHWC, features-last):
+  image            (B, H, W, 3) in [-1, 1]
+  captions         (B, 77) int32 token ids
+  image_latents    (B, H/8, W/8, 4) optional precomputed VAE latents
+  caption_latents  (B, 77, D) optional precomputed CLIP states
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_tpu.models.clip import CLIPTextModel
+from diffusion_tpu.models.unet import UNet2DCondition
+from diffusion_tpu.models.vae import AutoencoderKL
+from diffusion_tpu.schedulers import ContinuousTimeScheduler, DDIMScheduler, DDPMScheduler
+
+__all__ = ["StableDiffusion"]
+
+
+@dataclasses.dataclass(frozen=True)
+class StableDiffusion:
+    unet: UNet2DCondition
+    vae: AutoencoderKL
+    text_encoder: CLIPTextModel
+    tokenizer: Any
+    noise_scheduler: DDPMScheduler
+    inference_scheduler: DDIMScheduler
+    prediction_type: str = "epsilon"
+    latent_scale: float = 0.18215
+    precomputed_latents: bool = False
+    image_key: str = "image"
+    caption_key: str = "captions"
+    image_latents_key: str = "image_latents"
+    caption_latents_key: str = "caption_latents"
+    val_seed: int = 1138
+    val_guidance_scales: Tuple[float, ...] = ()
+    loss_bins: Tuple[Tuple[float, float], ...] = ((0, 1),)
+    num_images_per_prompt: int = 1
+    train_metric_names: Tuple[str, ...] = ("MeanSquaredError",)
+    val_metric_names: Tuple[str, ...] = ("MeanSquaredError",)
+    fsdp: bool = True
+    pretrained_path: Optional[str] = None
+
+    # ---------------- init ----------------
+    def init_params(self, rng: jax.Array, image_size: int = 256,
+                    text_len: int = 77) -> Tuple[Dict, Dict]:
+        """Initialize (trainable, frozen) param pytrees at a given resolution.
+
+        Param shapes are resolution-independent; image_size only sets the
+        tracing shapes.
+        """
+        r_unet, r_vae, r_text = jax.random.split(rng, 3)
+        latent = image_size // 8
+        ctx_dim = self.unet.config.cross_attention_dim
+        unet_params = self.unet.init(
+            r_unet, jnp.zeros((1, latent, latent, self.unet.config.in_channels)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, text_len, ctx_dim)))
+        vae_params = self.vae.init(
+            r_vae, jnp.zeros((1, image_size, image_size, 3)), r_vae)
+        text_params = self.text_encoder.init(
+            r_text, jnp.zeros((1, text_len), jnp.int32))
+        return unet_params, {"vae": vae_params, "text_encoder": text_params}
+
+    # ---------------- training ----------------
+    def encode_images(self, frozen: Dict, images: jnp.ndarray,
+                      rng: jax.Array) -> jnp.ndarray:
+        """VAE-encode to scaled latents (reference :160-174)."""
+        posterior = self.vae.apply(frozen["vae"], images, method=self.vae.encode)
+        return posterior.sample(rng) * self.latent_scale
+
+    def encode_text(self, frozen: Dict, input_ids: jnp.ndarray) -> jnp.ndarray:
+        hidden, _ = self.text_encoder.apply(frozen["text_encoder"], input_ids)
+        return hidden
+
+    def forward(self, params: Dict, frozen: Dict, batch: Dict[str, jnp.ndarray],
+                rng: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Diffusion forward pass -> (prediction, target, timesteps)."""
+        r_enc, r_t, r_noise = jax.random.split(rng, 3)
+        if self.precomputed_latents and self.image_latents_key in batch:
+            latents = batch[self.image_latents_key].astype(jnp.float32)
+            conditioning = batch[self.caption_latents_key].astype(jnp.float32)
+        else:
+            latents = self.encode_images(frozen, batch[self.image_key], r_enc)
+            conditioning = self.encode_text(frozen, batch[self.caption_key])
+
+        bsz = latents.shape[0]
+        num_t = self.noise_scheduler.num_train_timesteps
+        timesteps = jax.random.randint(r_t, (bsz,), 0, num_t)
+        noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
+        noised = self.noise_scheduler.add_noise(latents, noise, timesteps)
+        pred = self.unet.apply(params, noised, timesteps, conditioning)
+        if self.prediction_type == "epsilon":
+            target = noise
+        elif self.prediction_type == "sample":
+            target = latents
+        elif self.prediction_type == "v_prediction":
+            target = self.noise_scheduler.get_velocity(latents, noise, timesteps)
+        else:
+            raise ValueError(f"unknown prediction_type {self.prediction_type!r}")
+        return pred, target, timesteps
+
+    @staticmethod
+    def loss(outputs: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+        pred, target = outputs[0], outputs[1]
+        return jnp.mean(jnp.square(pred.astype(jnp.float32)
+                                   - target.astype(jnp.float32)))
+
+    def loss_fn(self, params: Dict, frozen: Dict, batch: Dict,
+                rng: jax.Array) -> jnp.ndarray:
+        """Scalar training loss; the function handed to jax.grad."""
+        return self.loss(self.forward(params, frozen, batch, rng))
+
+    # ---------------- generation ----------------
+    def embed_prompts(self, frozen: Dict, prompt_ids: jnp.ndarray,
+                      negative_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """(uncond, cond) embeddings stacked 2x-batch for CFG (ref :336-345)."""
+        if negative_ids is None:
+            # empty prompt = BOS + EOS + padding
+            pad = getattr(self.tokenizer, "pad_token_id", 0)
+            bos = getattr(self.tokenizer, "bos_token_id", 0)
+            eos = getattr(self.tokenizer, "eos_token_id", 0)
+            negative_ids = jnp.full_like(prompt_ids, pad)
+            negative_ids = negative_ids.at[:, 0].set(bos).at[:, 1].set(eos)
+        cond = self.encode_text(frozen, prompt_ids)
+        uncond = self.encode_text(frozen, negative_ids)
+        return jnp.concatenate([uncond, cond], axis=0)
+
+    def denoise_loop(self, params: Dict, latents: jnp.ndarray,
+                     text_embeddings: jnp.ndarray, guidance_scale: float,
+                     num_inference_steps: int) -> jnp.ndarray:
+        """CFG DDIM loop under lax.scan (ref :359-375, one compile)."""
+        ts, tps = self.inference_scheduler.timesteps(num_inference_steps)
+
+        def body(lat, t_pair):
+            t, tp = t_pair
+            model_in = jnp.concatenate([lat, lat], axis=0)
+            model_in = self.inference_scheduler.scale_model_input(model_in, t)
+            tt = jnp.broadcast_to(t, (model_in.shape[0],))
+            pred = self.unet.apply(params, model_in, tt, text_embeddings)
+            uncond, cond = jnp.split(pred, 2, axis=0)
+            pred = uncond + guidance_scale * (cond - uncond)
+            return self.inference_scheduler.step(pred, t, tp, lat), None
+
+        latents, _ = jax.lax.scan(body, latents, (jnp.asarray(ts), jnp.asarray(tps)))
+        return latents
+
+    def generate(self, params: Dict, frozen: Dict, prompt_ids: jnp.ndarray,
+                 negative_ids: Optional[jnp.ndarray] = None,
+                 height: int = 256, width: int = 256,
+                 guidance_scale: float = 3.0, num_inference_steps: int = 50,
+                 seed: Optional[int] = None,
+                 rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """Text -> images in [0, 1], (B, H, W, 3). Same seed => same images
+        (reference seeds a torch Generator, ref :322-326; here a jax key)."""
+        if rng is None:
+            rng = jax.random.key(self.val_seed if seed is None else seed)
+        bsz = prompt_ids.shape[0]
+        embeddings = self.embed_prompts(frozen, prompt_ids, negative_ids)
+        latents = jax.random.normal(
+            rng, (bsz, height // 8, width // 8, self.vae.config.latent_channels),
+            jnp.float32) * self.inference_scheduler.init_noise_sigma
+        latents = self.denoise_loop(params, latents, embeddings,
+                                    guidance_scale, num_inference_steps)
+        images = self.vae.apply(frozen["vae"], latents / self.latent_scale,
+                                method=self.vae.decode)
+        return jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)
+
+    # ---------------- eval ----------------
+    def eval_forward(self, params: Dict, frozen: Dict, batch: Dict,
+                     rng: jax.Array,
+                     num_inference_steps: int = 50,
+                     height: int = 256, width: int = 256) -> Dict[str, Any]:
+        """Forward MSE inputs + one generation per val guidance scale
+        (reference :189-208; fixed val_seed => deterministic images)."""
+        outputs = self.forward(params, frozen, batch, rng)
+        generated = {}
+        for scale in self.val_guidance_scales:
+            generated[float(scale)] = self.generate(
+                params, frozen, batch[self.caption_key],
+                height=height, width=width, guidance_scale=float(scale),
+                num_inference_steps=num_inference_steps, seed=self.val_seed)
+        return {"pred": outputs[0], "target": outputs[1],
+                "timesteps": outputs[2], "generated": generated}

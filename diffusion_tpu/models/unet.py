@@ -100,7 +100,7 @@ class UNet2DCondition(nn.Module):
                     h = Attn(cfg.attention_head_dim[i], cfg.head_dim[i],
                              depth=cfg.transformer_depth,
                              use_linear_projection=cfg.use_linear_projection,
-                             dtype=self.dtype,
+                             groups=cfg.norm_num_groups, dtype=self.dtype,
                              name=f"down_{i}_attn_{j}")(h, context)
                 residuals.append(h)
             if i < num_blocks - 1:
@@ -115,7 +115,8 @@ class UNet2DCondition(nn.Module):
         h = Attn(cfg.attention_head_dim[-1], cfg.head_dim[-1],
                  depth=cfg.transformer_depth,
                  use_linear_projection=cfg.use_linear_projection,
-                 dtype=self.dtype, name="mid_attn")(h, context)
+                 groups=cfg.norm_num_groups, dtype=self.dtype,
+                 name="mid_attn")(h, context)
         h = Res(mid_ch, groups=cfg.norm_num_groups, dropout=cfg.dropout,
                 dtype=self.dtype, name="mid_res_1")(h, temb)
 
@@ -135,7 +136,7 @@ class UNet2DCondition(nn.Module):
                     h = Attn(rev_heads[i], rev_head_dim[i],
                              depth=cfg.transformer_depth,
                              use_linear_projection=cfg.use_linear_projection,
-                             dtype=self.dtype,
+                             groups=cfg.norm_num_groups, dtype=self.dtype,
                              name=f"up_{i}_attn_{j}")(h, context)
             if i < num_blocks - 1:
                 h = Upsample(out_ch, dtype=self.dtype,

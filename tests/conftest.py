@@ -27,12 +27,5 @@ except Exception:
 
 jax.config.update("jax_threefry_partitionable", True)
 
-# persistent compile cache: this host has 1 CPU core; recompiling the UNet
-# graph every pytest run costs minutes
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
 assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"

@@ -1,0 +1,142 @@
+"""Model adapter tests — parity with the reference's own test strategy
+(reference tests/test_model.py: forward shapes at tiny size, generate over
+guidance scales x negative prompts) plus TPU-specific determinism checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.common import tiny_pixel_diffusion, tiny_stable_diffusion
+
+
+@pytest.fixture(scope="module")
+def sd():
+    model = tiny_stable_diffusion()
+    params, frozen = model.init_params(jax.random.key(0), image_size=32)
+    return model, params, frozen
+
+
+def _batch(model, bsz=1, size=32):
+    rng = np.random.default_rng(0)
+    image = rng.uniform(-1, 1, (bsz, size, size, 3)).astype(np.float32)
+    captions = model.tokenizer(["a cute cat"] * bsz)["input_ids"]
+    return {"image": jnp.asarray(image), "captions": jnp.asarray(captions)}
+
+
+def test_model_forward(sd):
+    model, params, frozen = sd
+    batch = _batch(model)
+    pred, target, t = model.forward(params, frozen, batch, jax.random.key(1))
+    latent = (1, 32 // 8, 32 // 8, 4)
+    assert pred.shape == latent and target.shape == latent
+    assert t.shape == (1,)
+    assert (np.asarray(t) >= 0).all() and (np.asarray(t) < 1000).all()
+    loss = model.loss((pred, target, t))
+    assert np.isfinite(float(loss))
+
+
+def test_precomputed_latent_path():
+    model = tiny_stable_diffusion(precomputed_latents=True)
+    params, frozen = model.init_params(jax.random.key(0), image_size=32)
+    batch = {
+        "image_latents": jnp.ones((1, 4, 4, 4), jnp.bfloat16),
+        "caption_latents": jnp.ones((1, 77, 16), jnp.bfloat16),
+    }
+    pred, target, _ = model.forward(params, frozen, batch, jax.random.key(1))
+    assert pred.shape == (1, 4, 4, 4)
+    assert target.dtype == jnp.float32
+
+
+@pytest.mark.parametrize("guidance_scale", [0.0, 3.0])
+@pytest.mark.parametrize("negative_prompt", [None, "so cool"])
+def test_model_generate(sd, guidance_scale, negative_prompt):
+    model, params, frozen = sd
+    prompt_ids = jnp.asarray(model.tokenizer(["a cute cat"])["input_ids"])
+    neg = (jnp.asarray(model.tokenizer([negative_prompt])["input_ids"])
+           if negative_prompt else None)
+    out = model.generate(params, frozen, prompt_ids, negative_ids=neg,
+                         height=32, width=32, guidance_scale=guidance_scale,
+                         num_inference_steps=1, seed=0)
+    assert out.shape == (1, 32, 32, 3)
+    arr = np.asarray(out)
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+def test_generate_deterministic_in_seed(sd):
+    model, params, frozen = sd
+    prompt_ids = jnp.asarray(model.tokenizer(["a dog"])["input_ids"])
+    a = model.generate(params, frozen, prompt_ids, height=32, width=32,
+                       num_inference_steps=2, seed=7)
+    b = model.generate(params, frozen, prompt_ids, height=32, width=32,
+                       num_inference_steps=2, seed=7)
+    c = model.generate(params, frozen, prompt_ids, height=32, width=32,
+                       num_inference_steps=2, seed=8)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_loss_decreases_under_sgd(sd):
+    """Tiny train sanity: a few gradient steps reduce the loss on one batch."""
+    model, params, frozen = sd
+    batch = _batch(model, bsz=2)
+    rng = jax.random.key(42)
+
+    @jax.jit
+    def step(p, r):
+        loss, g = jax.value_and_grad(model.loss_fn)(p, frozen, batch, r)
+        p = jax.tree.map(lambda w, gw: w - 0.05 * gw, p, g)
+        return p, loss
+
+    # same rng => same timesteps/noise: pure optimization progress check
+    first = None
+    for _ in range(5):
+        params2, loss = step(params, rng)
+        params = params2
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first
+
+
+def test_eval_forward_generates_per_scale():
+    model = tiny_stable_diffusion(val_guidance_scales=(1.0, 3.0))
+    params, frozen = model.init_params(jax.random.key(0), image_size=32)
+    batch = _batch(model)
+    out = model.eval_forward(params, frozen, batch, jax.random.key(3),
+                             num_inference_steps=1, height=32, width=32)
+    assert set(out["generated"].keys()) == {1.0, 3.0}
+    assert out["generated"][1.0].shape == (1, 32, 32, 3)
+
+
+@pytest.mark.parametrize("prediction_type", ["epsilon", "sample", "v_prediction"])
+def test_pixel_forward_targets(prediction_type):
+    model = tiny_pixel_diffusion(prediction_type=prediction_type)
+    params, frozen = model.init_params(jax.random.key(0), image_size=16)
+    batch = {"image": jnp.ones((1, 16, 16, 3)) * 0.1,
+             "captions": jnp.asarray(model.tokenizer(["x"])["input_ids"])}
+    pred, target, t = model.forward(params, frozen, batch, jax.random.key(1))
+    assert pred.shape == (1, 16, 16, 3) and target.shape == (1, 16, 16, 3)
+
+
+def test_pixel_continuous_time_and_sde_generate():
+    model = tiny_pixel_diffusion(continuous_time=True)
+    params, frozen = model.init_params(jax.random.key(0), image_size=16)
+    batch = {"image": jnp.ones((2, 16, 16, 3)) * 0.1,
+             "captions": jnp.asarray(model.tokenizer(["x", "y"])["input_ids"])}
+    _, _, t = model.forward(params, frozen, batch, jax.random.key(1))
+    tv = np.asarray(t)
+    assert tv.dtype == np.float32
+    assert (tv >= 0).all() and (tv <= 1.570795).all()
+    prompt_ids = jnp.asarray(model.tokenizer(["z"])["input_ids"])
+    out = model.generate(params, frozen, prompt_ids, height=16, width=16,
+                         num_inference_steps=2, seed=0)
+    assert out.shape == (1, 16, 16, 3)
+
+
+def test_pixel_ode_generate():
+    model = tiny_pixel_diffusion(continuous_time=True, use_ode=True)
+    params, frozen = model.init_params(jax.random.key(0), image_size=16)
+    prompt_ids = jnp.asarray(model.tokenizer(["z"])["input_ids"])
+    out = model.generate(params, frozen, prompt_ids, height=16, width=16,
+                         num_inference_steps=2, seed=0)
+    assert out.shape == (1, 16, 16, 3)
