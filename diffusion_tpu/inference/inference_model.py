@@ -1,0 +1,105 @@
+"""Text-to-image serving endpoint.
+
+TPU-native equivalent of the reference's inference handler (reference:
+diffusion/inference/inference_model.py): builds an un-pretrained SD2
+(ref :28-34), loads a training checkpoint — weights only, metric state
+ignored (ref :35-39 strips `val_metrics.*` keys; here metrics aren't in the
+checkpoint at all) — then `predict(**inputs)` parses prompt/negative_prompt/
+ints/floats (ref :49-58), generates (ref :64-65), and returns base64 PNGs
+(ref :67-76).
+
+TPU-first: `__init__` jit-compiles one sampling program per (steps, size)
+configuration; `predict` calls are pure dispatches. The checkpoint can come
+from any orbax directory (local or mounted bucket path).
+"""
+
+from __future__ import annotations
+
+import base64
+import functools
+import io
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_tpu.models.models import stable_diffusion_2
+
+__all__ = ["StableDiffusionInference", "image_to_base64_png"]
+
+
+def image_to_base64_png(image01: np.ndarray) -> str:
+    """float [0,1] HWC -> base64 PNG string (reference :67-76)."""
+    from PIL import Image
+    arr = (np.clip(np.asarray(image01), 0, 1) * 255).round().astype(np.uint8)
+    img = Image.fromarray(arr)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+class StableDiffusionInference:
+    def __init__(self, checkpoint_path: Optional[str] = None,
+                 model_name: Optional[str] = None,
+                 default_size: int = 512, seed: int = 0, **model_kwargs: Any):
+        self.model = stable_diffusion_2(model_name=model_name, pretrained=False,
+                                        fsdp=False, **model_kwargs)
+        self.default_size = default_size
+        self.seed = seed
+        params, frozen = self.model.init_params(jax.random.key(seed),
+                                                image_size=default_size)
+        if checkpoint_path:
+            from diffusion_tpu.train.checkpoint import load_checkpoint
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+            try:
+                from diffusion_tpu.train.state import TrainState
+                abs_state = jax.eval_shape(lambda: TrainState(
+                    step=jnp.zeros((), jnp.int32), params=params,
+                    opt_state=None, ema_params=None))
+                restored, _ = load_checkpoint(checkpoint_path, abs_state)
+                params = restored.params
+            except Exception:
+                # weights-only checkpoints store the bare param pytree
+                import orbax.checkpoint as ocp
+                import os
+                restored = ocp.StandardCheckpointer().restore(
+                    os.path.abspath(checkpoint_path), abstract)
+                params = restored
+        self.params = params
+        self.frozen = frozen
+        self._gen_cache: Dict[tuple, Any] = {}
+
+    def _gen_fn(self, steps: int, height: int, width: int, scale: float):
+        key = (steps, height, width, scale)
+        if key not in self._gen_cache:
+            self._gen_cache[key] = jax.jit(functools.partial(
+                self.model.generate, height=height, width=width,
+                guidance_scale=scale, num_inference_steps=steps))
+        return self._gen_cache[key]
+
+    def predict(self, **inputs: Any) -> List[str]:
+        """Inputs (reference :49-58): prompt (str|list), negative_prompt,
+        height, width, num_inference_steps, guidance_scale, seed."""
+        prompt = inputs.get("prompt")
+        if not prompt:
+            raise ValueError("prompt required")
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        negative = inputs.get("negative_prompt")
+        negatives = ([negative] * len(prompts) if isinstance(negative, str)
+                     else negative)
+        height = int(inputs.get("height", self.default_size))
+        width = int(inputs.get("width", self.default_size))
+        steps = int(inputs.get("num_inference_steps", 50))
+        scale = float(inputs.get("guidance_scale", 7.5))
+        seed = int(inputs.get("seed", self.seed))
+
+        tok = self.model.tokenizer
+        prompt_ids = jnp.asarray(tok(prompts)["input_ids"])
+        negative_ids = (jnp.asarray(tok(negatives)["input_ids"])
+                        if negatives else None)
+        images = self._gen_fn(steps, height, width, scale)(
+            self.params, self.frozen, prompt_ids, negative_ids=negative_ids,
+            seed=seed)
+        return [image_to_base64_png(img) for img in np.asarray(images)]

@@ -92,6 +92,32 @@ def stable_diffusion_2(
     )
 
 
+def stable_diffusion_tiny(val_guidance_scales: Optional[List[float]] = None,
+                          precomputed_latents: bool = False,
+                          **_: Any) -> StableDiffusion:
+    """Tiny-geometry StableDiffusion for smoke tests / CI / CPU runs —
+    real architecture, small channels (the reference's own test strategy,
+    tests/test_model.py, applied as a first-class builder)."""
+    from diffusion_tpu.models.clip import CLIPTextConfig
+    from diffusion_tpu.models.unet import UNetConfig
+    from diffusion_tpu.models.vae import VAEConfig
+    unet = UNet2DCondition(UNetConfig(
+        in_channels=4, out_channels=4, block_out_channels=(32, 64),
+        layers_per_block=1, block_has_attention=(True, False),
+        attention_head_dim=(2, 4), cross_attention_dim=32, norm_num_groups=8))
+    vae = AutoencoderKL(VAEConfig(block_out_channels=(8, 8, 8, 8),
+                                  layers_per_block=1, norm_num_groups=4))
+    text_encoder = CLIPTextModel(CLIPTextConfig(
+        vocab_size=514, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2))
+    return StableDiffusion(
+        unet=unet, vae=vae, text_encoder=text_encoder,
+        tokenizer=tiny_tokenizer(), noise_scheduler=DDPMScheduler(),
+        inference_scheduler=DDIMScheduler(),
+        precomputed_latents=precomputed_latents,
+        val_guidance_scales=tuple(val_guidance_scales or ()), fsdp=True)
+
+
 def _pixel_schedulers(prediction_type: str) -> Tuple[DDPMScheduler, DDIMScheduler]:
     """Hard-coded pixel schedulers (reference models.py:133-158)."""
     train = DDPMScheduler(num_train_timesteps=1000, beta_start=0.00085,

@@ -1,0 +1,64 @@
+"""Device mesh construction: (dcn, fsdp, data) axes over ICI/DCN.
+
+TPU-native equivalent of the reference's NCCL/composer-launcher distribution
+(reference: sensecore/run_cmd.sh:22-29 spawns one process per GPU with
+MASTER_ADDR/WORLD_SIZE; diffusion/train.py:40 divides the global batch by
+world size). Here distribution is a compiled property of the program: a
+`jax.sharding.Mesh` whose inner axes ride ICI and whose outer `dcn` axis
+crosses slices, with XLA inserting the collectives.
+
+Axis roles:
+  dcn  — crosses pod slices (data-parallel only; gradient allreduce over DCN)
+  fsdp — intra-slice axis that shards params/optimizer state (ZeRO-ish)
+  data — intra-slice pure data parallelism
+The global batch is sharded over all three axes; parameters over `fsdp` only.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+__all__ = ["create_mesh", "MESH_AXES"]
+
+MESH_AXES = ("dcn", "fsdp", "data")
+
+
+def create_mesh(fsdp: int = -1, data: int = 1, dcn: int = 1,
+                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (dcn, fsdp, data) mesh. One dimension may be -1 (inferred).
+
+    Uses `mesh_utils.create_device_mesh` for ICI-aware ordering when the
+    whole mesh is one slice, and `create_hybrid_device_mesh` when dcn > 1.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    sizes = {"dcn": dcn, "fsdp": fsdp, "data": data}
+    unknown = [k for k, v in sizes.items() if v == -1]
+    if len(unknown) > 1:
+        raise ValueError("at most one mesh axis may be -1")
+    if unknown:
+        known = math.prod(v for v in sizes.values() if v != -1)
+        if n % known:
+            raise ValueError(f"{n} devices not divisible by {known}")
+        sizes[unknown[0]] = n // known
+    if math.prod(sizes.values()) != n:
+        raise ValueError(f"mesh {sizes} does not cover {n} devices")
+
+    shape = tuple(sizes[a] for a in MESH_AXES)
+    try:
+        from jax.experimental import mesh_utils
+        if sizes["dcn"] > 1:
+            per_slice = (1, sizes["fsdp"], sizes["data"])
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                per_slice, (sizes["dcn"], 1, 1), devices=devices)
+        else:
+            dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
+    except Exception:
+        # virtual CPU devices / odd topologies: plain row-major assignment
+        dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, MESH_AXES)

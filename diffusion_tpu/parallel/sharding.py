@@ -1,0 +1,111 @@
+"""Parameter/batch partition specs: the FSDP (ZeRO) equivalent, as pjit specs.
+
+TPU-native equivalent of the reference's torch-FSDP config (reference:
+yamls/hydra-yamls/SD-2-base-256.yaml:95-96 `sharding_strategy: SHARD_GRAD_OP`
+= ZeRO-2, applied to the UNet only via `_fsdp_wrap` flags,
+diffusion/models/stable_diffusion.py:148-152). On TPU the same memory win is
+a partition-spec decision: shard each large parameter (and therefore its
+gradient and AdamW moments) along its largest divisible axis over the `fsdp`
+mesh axis; XLA all-gathers weights where needed and reduce-scatters grads.
+Frozen VAE/CLIP params stay replicated (they have no optimizer state).
+
+There is no `summon_full_params` anywhere — EMA and checkpointing operate on
+the sharded pytrees directly (SURVEY.md §2.2 notes this is a place the TPU
+design is simpler than the reference's ema.py:79-85).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["param_spec", "param_shardings", "replicated", "batch_spec",
+           "batch_sharding", "shard_batch"]
+
+
+def param_spec(leaf: Any, mesh: Mesh, min_size: int = 2 ** 16) -> P:
+    """Partition spec for one parameter: shard the largest axis divisible by
+    the fsdp axis size; replicate small or indivisible leaves."""
+    fsdp = mesh.shape.get("fsdp", 1)
+    if fsdp <= 1:
+        return P()
+    shape = getattr(leaf, "shape", ())
+    if not shape or int(np.prod(shape)) < min_size:
+        return P()
+    # prefer the largest dim; ties broken toward the last (lane) dim, which
+    # keeps the replicated dims contiguous for the MXU
+    order = sorted(range(len(shape)), key=lambda i: (shape[i], i), reverse=True)
+    for i in order:
+        if shape[i] % fsdp == 0:
+            spec = [None] * len(shape)
+            spec[i] = "fsdp"
+            return P(*spec)
+    return P()
+
+
+def param_shardings(params: Any, mesh: Mesh, shard: bool = True,
+                    min_size: int = 2 ** 16) -> Any:
+    """NamedSharding pytree matching `params`. shard=False replicates all
+    (the frozen VAE/CLIP towers)."""
+    def one(leaf):
+        spec = param_spec(leaf, mesh, min_size) if shard else P()
+        return NamedSharding(mesh, spec)
+    return jax.tree.map(one, params)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_spec(mesh: Mesh) -> P:
+    """Batch axis sharded over every mesh axis (pure data parallelism across
+    the full device set, reference train.py:40 global//world semantics)."""
+    return P(tuple(mesh.axis_names))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, batch_spec(mesh))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put a host batch with the batch sharding on every leaf."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
+    """Zero-pad every leaf's batch dim to a multiple and add a '_valid' float
+    mask (1 = real sample). Eval batches smaller than the device count (the
+    reference sizes eval at 8/device; tails can be ragged) become shardable;
+    metric reductions weight by the mask so padding never biases results."""
+    import numpy as np
+    n = next(iter(batch.values())).shape[0]
+    pad = (-n) % multiple
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        if pad:
+            v = np.concatenate([v, np.zeros((pad, *v.shape[1:]), v.dtype)])
+        out[k] = v
+    mask = np.ones(n + pad, np.float32)
+    if pad:
+        mask[n:] = 0.0
+    out["_valid"] = mask
+    return out
+
+
+def make_global_batch(host_batch: Any, mesh: Mesh) -> Any:
+    """Assemble per-host batches into global sharded arrays.
+
+    Each host feeds its local slice (global_batch // num_hosts rows, the
+    reference's per-rank division, train.py:40); the result is one global
+    array sharded over all mesh axes. Single-host: plain device_put.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), host_batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), host_batch)

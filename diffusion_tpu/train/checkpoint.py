@@ -1,0 +1,93 @@
+"""Sharded checkpointing with autoresume (orbax).
+
+TPU-native equivalent of Composer checkpointing as the reference configures it
+(reference: yamls/hydra-yamls/SD-2-base-512.yaml:97-100 `save_folder`,
+`save_interval: 10000ba`, `save_overwrite`, `autoresume`; load via
+`load_path`/`load_weights_only`, scripts/fid-clip-evaluation.py:103-105).
+
+Layout: <save_folder>/ba<batch>/state  (orbax sharded pytree: params,
+opt_state, ema, step) + meta.json (timestamp, algorithm/callback state, rng
+seed). Checkpoints restore with the *current* mesh's shardings — resharding
+across topologies is free (orbax reads each shard where it will live).
+Autoresume = pick the highest complete ba<N> in the folder (reference:
+Composer autoresume discovers the latest checkpoint the same way).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+
+__all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint_path",
+           "checkpoint_batch"]
+
+_BA_RE = re.compile(r"^ba(\d+)$")
+_COMPLETE = "meta.json"  # written last => marks a complete checkpoint
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(save_folder: str, batch: int, train_state: Any,
+                    meta: Optional[Dict[str, Any]] = None,
+                    overwrite: bool = True) -> str:
+    """Write <folder>/ba<batch>/{state, meta.json}. Multi-host safe: orbax
+    coordinates the array shards; only process 0 writes meta.json."""
+    path = os.path.join(save_folder, f"ba{batch}")
+    state_path = os.path.join(path, "state")
+    if os.path.exists(state_path):
+        if not overwrite:
+            raise FileExistsError(f"{state_path} exists and save_overwrite=False")
+        if jax.process_index() == 0:
+            shutil.rmtree(state_path)
+    ckptr = _checkpointer()
+    ckptr.save(os.path.abspath(state_path), train_state)
+    ckptr.wait_until_finished()
+    if jax.process_index() == 0:
+        with open(os.path.join(path, _COMPLETE), "w") as f:
+            json.dump(meta or {}, f)
+    return path
+
+
+def load_checkpoint(path: str, abstract_state: Any) -> Tuple[Any, Dict[str, Any]]:
+    """Restore a checkpoint dir into the sharding/structure of
+    `abstract_state` (jax.eval_shape output with shardings attached)."""
+    state_path = os.path.join(path, "state")
+    ckptr = _checkpointer()
+    restored = ckptr.restore(os.path.abspath(state_path), abstract_state)
+    meta_path = os.path.join(path, _COMPLETE)
+    meta: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return restored, meta
+
+
+def checkpoint_batch(path: str) -> int:
+    m = _BA_RE.match(os.path.basename(os.path.normpath(path)))
+    return int(m.group(1)) if m else -1
+
+
+def latest_checkpoint_path(save_folder: str) -> Optional[str]:
+    """Highest complete ba<N> under save_folder (autoresume discovery)."""
+    if not save_folder or not os.path.isdir(save_folder):
+        return None
+    best, best_n = None, -1
+    for name in os.listdir(save_folder):
+        m = _BA_RE.match(name)
+        if not m:
+            continue
+        full = os.path.join(save_folder, name)
+        if not os.path.exists(os.path.join(full, _COMPLETE)):
+            continue  # incomplete/interrupted write
+        n = int(m.group(1))
+        if n > best_n:
+            best, best_n = full, n
+    return best

@@ -1,0 +1,140 @@
+"""Optimizers and LR schedules (optax).
+
+TPU-native equivalent of the reference's optimizer/scheduler surface:
+torch.optim.AdamW from yaml (reference: yamls/hydra-yamls/SD-2-base-256.yaml:
+55-58, lr 1e-4 / weight_decay 0.01) and Composer's
+MultiStepWithWarmupScheduler (`t_warmup: 10000ba`, `milestones: [200ep]`,
+SD-2-base-256.yaml:59-64) with `scale_schedule_ratio` (train.py/yaml:4).
+
+Schedules are step-indexed optax schedules; Time strings ('10000ba', '200ep',
+'0.5dur') resolve against max_duration/batches_per_epoch at build time.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Union
+
+import optax
+
+from diffusion_tpu.utils.time import Time, time_to_batches
+
+__all__ = ["adamw", "build_optimizer", "multi_step_with_warmup",
+           "cosine_annealing_with_warmup", "linear_with_warmup",
+           "constant_with_warmup", "constant_scheduler"]
+
+Schedule = Callable[[int], float]
+
+
+def adamw(lr: float = 1e-4, betas: Sequence[float] = (0.9, 0.999),
+          eps: float = 1e-8, weight_decay: float = 0.01) -> dict:
+    """AdamW config node (torch.optim.AdamW parity, reference yaml :55-58).
+
+    Returns a spec dict; `build_optimizer` combines it with the LR schedule
+    so the schedule multiplies the base lr exactly like Composer does.
+    """
+    return {"name": "adamw", "lr": float(lr), "betas": tuple(betas),
+            "eps": float(eps), "weight_decay": float(weight_decay)}
+
+
+def build_optimizer(spec: Optional[dict] = None,
+                    schedule: Optional[Schedule] = None,
+                    grad_clip_norm: Optional[float] = None
+                    ) -> optax.GradientTransformation:
+    """optax chain: [clip] -> adamw(lr = base_lr * schedule(step))."""
+    spec = spec or adamw()
+    base_lr = spec["lr"]
+    if schedule is None:
+        lr: Union[float, Schedule] = base_lr
+    else:
+        def lr(step):
+            return base_lr * schedule(step)
+    tx = optax.adamw(learning_rate=lr, b1=spec["betas"][0], b2=spec["betas"][1],
+                     eps=spec["eps"], weight_decay=spec["weight_decay"])
+    if grad_clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+    return tx
+
+
+def _resolve(t, max_duration, batches_per_epoch, scale: float = 1.0) -> int:
+    return max(int(scale * time_to_batches(t, max_duration, batches_per_epoch)), 0)
+
+
+def multi_step_with_warmup(t_warmup: Union[str, int],
+                           milestones: Sequence[Union[str, int]],
+                           gamma: float = 0.1,
+                           max_duration: Union[str, int] = "1000000ba",
+                           batches_per_epoch: int = 0,
+                           scale_schedule_ratio: float = 1.0) -> Schedule:
+    """Linear warmup then x gamma at each milestone (Composer
+    MultiStepWithWarmupScheduler parity, reference yaml :59-64). Milestones
+    scale by scale_schedule_ratio; warmup does not (Composer semantics)."""
+    warmup = _resolve(t_warmup, max_duration, batches_per_epoch)
+    steps = sorted(_resolve(m, max_duration, batches_per_epoch,
+                            scale_schedule_ratio) for m in milestones)
+
+    def schedule(step):
+        import jax.numpy as jnp
+        s = jnp.asarray(step, jnp.float32)
+        warm = jnp.minimum(s / jnp.maximum(warmup, 1), 1.0) if warmup > 0 else 1.0
+        factor = 1.0
+        for m in steps:
+            factor = factor * jnp.where(s >= m, gamma, 1.0)
+        return warm * factor
+
+    return schedule
+
+
+def linear_with_warmup(t_warmup: Union[str, int],
+                       alpha_i: float = 1.0, alpha_f: float = 0.0,
+                       t_max: Union[str, int] = "1dur",
+                       max_duration: Union[str, int] = "1000000ba",
+                       batches_per_epoch: int = 0,
+                       scale_schedule_ratio: float = 1.0) -> Schedule:
+    warmup = _resolve(t_warmup, max_duration, batches_per_epoch)
+    total = _resolve(t_max, max_duration, batches_per_epoch, scale_schedule_ratio)
+
+    def schedule(step):
+        import jax.numpy as jnp
+        s = jnp.asarray(step, jnp.float32)
+        warm = jnp.minimum(s / jnp.maximum(warmup, 1), 1.0) if warmup > 0 else 1.0
+        frac = jnp.clip((s - warmup) / jnp.maximum(total - warmup, 1), 0.0, 1.0)
+        return warm * (alpha_i + frac * (alpha_f - alpha_i))
+
+    return schedule
+
+
+def cosine_annealing_with_warmup(t_warmup: Union[str, int],
+                                 alpha_f: float = 0.0,
+                                 t_max: Union[str, int] = "1dur",
+                                 max_duration: Union[str, int] = "1000000ba",
+                                 batches_per_epoch: int = 0,
+                                 scale_schedule_ratio: float = 1.0) -> Schedule:
+    warmup = _resolve(t_warmup, max_duration, batches_per_epoch)
+    total = _resolve(t_max, max_duration, batches_per_epoch, scale_schedule_ratio)
+
+    def schedule(step):
+        import jax.numpy as jnp
+        s = jnp.asarray(step, jnp.float32)
+        warm = jnp.minimum(s / jnp.maximum(warmup, 1), 1.0) if warmup > 0 else 1.0
+        frac = jnp.clip((s - warmup) / jnp.maximum(total - warmup, 1), 0.0, 1.0)
+        cos = 0.5 * (1 + jnp.cos(jnp.pi * frac))
+        return warm * (alpha_f + (1 - alpha_f) * cos)
+
+    return schedule
+
+
+def constant_with_warmup(t_warmup: Union[str, int],
+                         max_duration: Union[str, int] = "1000000ba",
+                         batches_per_epoch: int = 0, **_) -> Schedule:
+    warmup = _resolve(t_warmup, max_duration, batches_per_epoch)
+
+    def schedule(step):
+        import jax.numpy as jnp
+        s = jnp.asarray(step, jnp.float32)
+        return jnp.minimum(s / jnp.maximum(warmup, 1), 1.0) if warmup > 0 else 1.0
+
+    return schedule
+
+
+def constant_scheduler(**_) -> Schedule:
+    return lambda step: 1.0

@@ -1,0 +1,516 @@
+"""The Trainer: jit-compiled train step, events, eval, checkpointing.
+
+TPU-native equivalent of composer.Trainer as the reference composes it
+(reference: diffusion/train.py:118-138 and the `trainer:` yaml block,
+yamls/hydra-yamls/SD-2-base-256.yaml:82-96): max_duration/eval_interval/
+save_interval in 'ba' time, device_train_microbatch_size grad accumulation,
+run seed, scale_schedule_ratio, save_folder/save_overwrite/autoresume,
+load_path/load_weights_only, fsdp sharding, loggers/algorithms/callbacks.
+
+TPU-first design:
+- ONE compiled program per training batch: grad-accum `lax.scan`, AdamW
+  update, LR schedule, and the EMA update all fuse into a single jitted,
+  donated step. The host loop only feeds batches and dispatches events
+  (the reference runs Python callbacks + autocast contexts around every
+  microbatch).
+- Distribution is a (dcn, fsdp, data) mesh; the `fsdp_config` surface maps
+  to parameter/optimizer partition specs (parallel/sharding.py) instead of
+  wrapping modules. Frozen VAE/CLIP replicate.
+- Checkpoints are orbax sharded pytrees; autoresume discovers the latest
+  complete ba<N> in save_folder.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time as _time
+from typing import Any, Callable, Dict, Iterable, List, Mapping, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from diffusion_tpu.algorithms.ema import EMA, apply_ema, ema_smoothing_for_step
+from diffusion_tpu.parallel.mesh import create_mesh
+from diffusion_tpu.parallel.sharding import (batch_spec, make_global_batch,
+                                             param_shardings, replicated)
+from diffusion_tpu.train import checkpoint as ckpt
+from diffusion_tpu.train.events import Algorithm, Callback, Event, EventEngine
+from diffusion_tpu.train.optim import build_optimizer, constant_scheduler
+from diffusion_tpu.train.state import State, TrainState
+from diffusion_tpu.utils.logging import ConsoleLogger, Logger, LoggerCollection
+from diffusion_tpu.utils.time import Time, TimeUnit, Timestamp, time_to_batches
+
+__all__ = ["Trainer", "Evaluator"]
+
+
+class Evaluator:
+    """(label, dataloader, metric names) bundle (reference train.py:48-59
+    builds composer Evaluators from the `evaluators` config dict)."""
+
+    def __init__(self, label: str, dataloader: Iterable, metric_names: Sequence[str] = ()):
+        self.label = label
+        self.dataloader = dataloader
+        self.metric_names = tuple(metric_names)
+
+
+def _leading_dim(batch: Mapping[str, Any]) -> int:
+    for v in batch.values():
+        return int(np.shape(v)[0])
+    return 0
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: Any,
+        train_dataloader: Optional[Iterable] = None,
+        eval_dataloader: Union[None, Iterable, Sequence[Evaluator]] = None,
+        optimizers: Optional[dict] = None,
+        schedulers: Optional[Callable[[int], float]] = None,
+        loggers: Union[None, Logger, Sequence[Logger]] = None,
+        algorithms: Optional[Sequence[Algorithm]] = None,
+        callbacks: Optional[Sequence[Callback]] = None,
+        *,
+        max_duration: Union[str, int] = "1ba",
+        eval_interval: Union[str, int] = "10000ba",
+        device_train_microbatch_size: Optional[int] = None,
+        run_name: str = "run",
+        seed: int = 17,
+        scale_schedule_ratio: float = 1.0,
+        save_folder: Optional[str] = None,
+        save_interval: Union[str, int] = "10000ba",
+        save_overwrite: bool = True,
+        autoresume: bool = False,
+        load_path: Optional[str] = None,
+        load_weights_only: bool = False,
+        eval_subset_num_batches: int = -1,
+        mesh: Optional[Mesh] = None,
+        fsdp_config: Optional[dict] = None,
+        image_size: int = 256,
+        grad_clip_norm: Optional[float] = None,
+        batches_per_epoch: Optional[int] = None,
+        eval_guidance_scales: Optional[Sequence[float]] = None,
+        eval_num_inference_steps: int = 50,
+        device: Optional[str] = None,           # accepted for yaml parity
+        precision: str = "amp_bf16",            # bf16 is the policy; recorded
+        progress_bar: bool = False,
+        log_to_console: bool = False,
+        log_traces: bool = False,
+    ):
+        del device, progress_bar  # yaml-parity knobs without TPU meaning
+        self.model = model
+        self.train_dataloader = train_dataloader
+        self.eval_subset_num_batches = eval_subset_num_batches
+        self.precision = precision
+        self.log_traces = log_traces
+        self.run_name = run_name
+        self.seed = int(seed)
+        self.max_duration = Time.from_str(max_duration)
+        self.scale_schedule_ratio = float(scale_schedule_ratio)
+        self._batches_per_epoch = batches_per_epoch
+        self.max_batches = int(self.scale_schedule_ratio * time_to_batches(
+            self.max_duration, self.max_duration, batches_per_epoch or 0))
+        self.eval_interval = time_to_batches(eval_interval, self.max_duration,
+                                             batches_per_epoch or 0)
+        self.save_folder = save_folder
+        self.save_interval = time_to_batches(save_interval, self.max_duration,
+                                             batches_per_epoch or 0)
+        self.save_overwrite = save_overwrite
+        self.image_size = image_size
+        self.eval_num_inference_steps = eval_num_inference_steps
+        self.eval_guidance_scales = tuple(
+            eval_guidance_scales if eval_guidance_scales is not None
+            else getattr(model, "val_guidance_scales", ()))
+
+        # ---- loggers / events
+        if loggers is None:
+            loggers = [ConsoleLogger(log_interval=100)] if log_to_console else []
+        elif isinstance(loggers, Logger):
+            loggers = [loggers]
+        self.logger = LoggerCollection(loggers)
+        self.engine = EventEngine(algorithms or [], callbacks or [])
+        self.ema_algorithm: Optional[EMA] = next(
+            (a for a in self.engine.algorithms if isinstance(a, EMA)), None)
+
+        # ---- mesh / shardings
+        use_fsdp = getattr(model, "fsdp", True) and (
+            fsdp_config is None or fsdp_config.get("sharding_strategy", "SHARD_GRAD_OP")
+            != "NO_SHARD")
+        # reference FSDP wraps whole submodules; the spec-level equivalent of
+        # its min_params is a per-leaf size floor below which we replicate
+        self.fsdp_min_size = int((fsdp_config or {}).get("min_params", 2 ** 16))
+        if mesh is None:
+            n = jax.device_count()
+            mesh = create_mesh(fsdp=n if use_fsdp else 1,
+                               data=1 if use_fsdp else n)
+        self.mesh = mesh
+
+        # ---- evaluators
+        if eval_dataloader is None:
+            self.evaluators: List[Evaluator] = []
+        elif isinstance(eval_dataloader, (list, tuple)) and eval_dataloader and \
+                isinstance(eval_dataloader[0], Evaluator):
+            self.evaluators = list(eval_dataloader)
+        else:
+            self.evaluators = [Evaluator(
+                "eval", eval_dataloader,
+                getattr(model, "val_metric_names", ("MeanSquaredError",)))]
+
+        # ---- params / optimizer / device state
+        self._base_key = jax.random.key(self.seed)
+        self._init_device_state(optimizers, schedulers, grad_clip_norm,
+                                device_train_microbatch_size)
+
+        # ---- generation-metric fan-out (FID/IS/CLIPScore per guidance scale,
+        # reference stable_diffusion.py:114-134; active only when the model
+        # asks for guidance scales — the production configs set [] exactly
+        # because online generation eval is expensive, README.md:111)
+        self.metric_hooks: List[Any] = []
+        gen_names = [n for n in getattr(model, "val_metric_names", ())
+                     if n in ("FrechetInceptionDistance", "InceptionScore",
+                              "CLIPScore")]
+        if self.eval_guidance_scales and gen_names and self.evaluators:
+            from diffusion_tpu.metrics.generation_metrics import GenerationMetricsHook
+            self.metric_hooks.append(GenerationMetricsHook(
+                model, self.frozen, self.eval_guidance_scales, gen_names,
+                height=image_size, width=image_size,
+                num_inference_steps=eval_num_inference_steps))
+
+        # ---- host state for events
+        self.state = State(
+            model=model, train_state=self.train_state, frozen=self.frozen,
+            timestamp=Timestamp(), run_name=run_name, seed=self.seed,
+            max_duration=str(self.max_duration),
+            device_train_microbatch_size=device_train_microbatch_size,
+            ema_start_batch=(self.ema_algorithm.start_batch(
+                self.max_duration, batches_per_epoch or 0)
+                if self.ema_algorithm else 0),
+            rank=jax.process_index(),
+        )
+
+        # ---- resume / load
+        self._maybe_restore(autoresume, load_path, load_weights_only)
+        self.engine.run(Event.INIT, self.state, self.logger)
+
+    # ------------------------------------------------------------------
+    def _init_device_state(self, optimizers, schedulers, grad_clip_norm,
+                           micro_size) -> None:
+        model, mesh = self.model, self.mesh
+        schedule = schedulers or constant_scheduler()
+        self.tx = build_optimizer(optimizers, schedule, grad_clip_norm)
+        self._schedule = schedule
+        self._base_lr = (optimizers or {}).get("lr", 1e-4)
+        self.micro_size = micro_size
+
+        init_rng = jax.random.key(self.seed)
+        abstract = jax.eval_shape(
+            lambda r: model.init_params(r, image_size=self.image_size), init_rng)
+        params_sh = param_shardings(abstract[0], mesh, shard=True,
+                                    min_size=self.fsdp_min_size)
+        frozen_sh = param_shardings(abstract[1], mesh, shard=False)
+        init_fn = jax.jit(
+            lambda r: model.init_params(r, image_size=self.image_size),
+            out_shardings=(params_sh, frozen_sh))
+        params, frozen = init_fn(init_rng)
+        self.frozen = frozen
+        self.params_shardings = params_sh
+
+        opt_abstract = jax.eval_shape(self.tx.init, abstract[0])
+        opt_sh = param_shardings(opt_abstract, mesh, shard=True,
+                                 min_size=self.fsdp_min_size)
+        opt_state = jax.jit(self.tx.init, out_shardings=opt_sh)(params)
+        self.opt_shardings = opt_sh
+
+        has_ema = self.ema_algorithm is not None
+        ema_params = jax.jit(lambda p: jax.tree.map(jnp.copy, p),
+                             out_shardings=params_sh)(params) if has_ema else None
+
+        self.train_state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=opt_state, ema_params=ema_params)
+        self._train_step_cache: Dict[Tuple, Callable] = {}
+        self._eval_step_cache: Dict[Tuple, Callable] = {}
+
+    # ------------------------------------------------------------------
+    def _make_train_step(self, global_batch: int) -> Callable:
+        """Build the fused train step for a given global batch size."""
+        model, mesh = self.model, self.mesh
+        frozen = self.frozen
+        n_dev = mesh.size
+        if self.micro_size:
+            micro_global = self.micro_size * n_dev
+            n_accum = max(global_batch // micro_global, 1)
+        else:
+            n_accum = 1
+        ema_cfg = None
+        if self.ema_algorithm is not None:
+            ema_cfg = (self.ema_algorithm.smoothing(),
+                       self.state.ema_start_batch,
+                       int(self.ema_algorithm.update_interval.value))
+        bspec = batch_spec(mesh)
+        data_axes = tuple(mesh.axis_names)
+
+        def loss_fn(p, mb, r):
+            return model.loss_fn(p, frozen, mb, r)
+
+        def step_fn(ts: TrainState, batch, rng):
+            if n_accum == 1:
+                loss, grads = jax.value_and_grad(loss_fn)(ts.params, batch, rng)
+            else:
+                def resh(x):
+                    x = x.reshape(n_accum, x.shape[0] // n_accum, *x.shape[1:])
+                    return jax.lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, P(None, data_axes)))
+                micro_batches = jax.tree.map(resh, batch)
+                rngs = jax.random.split(rng, n_accum)
+
+                def body(carry, xs):
+                    g_acc, l_acc = carry
+                    mb, r = xs
+                    l, g = jax.value_and_grad(loss_fn)(ts.params, mb, r)
+                    return (jax.tree.map(jnp.add, g_acc, g), l_acc + l), None
+
+                zeros = jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), ts.params)
+                (grads, loss), _ = jax.lax.scan(
+                    body, (zeros, jnp.zeros((), jnp.float32)),
+                    (micro_batches, rngs))
+                grads = jax.tree.map(lambda g: g / n_accum, grads)
+                loss = loss / n_accum
+
+            updates, new_opt = self.tx.update(grads, ts.opt_state, ts.params)
+            new_params = optax.apply_updates(ts.params, updates)
+            new_ema = ts.ema_params
+            if ema_cfg is not None:
+                eff = ema_smoothing_for_step(ts.step, *ema_cfg)
+                new_ema = apply_ema(ts.ema_params, new_params, eff)
+            metrics = {"loss/train/total": loss,
+                       "grad/global_norm": optax.global_norm(grads)}
+            return ts.replace(step=ts.step + 1, params=new_params,
+                              opt_state=new_opt, ema_params=new_ema), metrics
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _train_step_for(self, global_batch: int) -> Callable:
+        key = (global_batch,)
+        if key not in self._train_step_cache:
+            self._train_step_cache[key] = self._make_train_step(global_batch)
+        return self._train_step_cache[key]
+
+    # ------------------------------------------------------------------
+    def fit(self) -> None:
+        if self.train_dataloader is None:
+            raise ValueError("fit() requires a train_dataloader")
+        state, logger = self.state, self.logger
+        self.engine.run(Event.FIT_START, state, logger)
+        fit_start = _time.monotonic()
+
+        while state.timestamp.batch < self.max_batches:
+            self.engine.run(Event.EPOCH_START, state, logger)
+            epoch_had_batches = False
+            for host_batch in self.train_dataloader:
+                if state.timestamp.batch >= self.max_batches:
+                    break
+                epoch_had_batches = True
+                self.engine.run(Event.BEFORE_DATALOADER, state, logger)
+                samples = _leading_dim(host_batch) * (
+                    jax.process_count())
+                batch = make_global_batch(dict(host_batch), self.mesh)
+                state.batch = batch
+                self.engine.run(Event.AFTER_DATALOADER, state, logger)
+                self.engine.run(Event.BATCH_START, state, logger)
+
+                step_idx = state.timestamp.batch
+                rng = jax.random.fold_in(self._base_key, step_idx)
+                train_step = self._train_step_for(_leading_dim(host_batch)
+                                                  * jax.process_count())
+                t0 = _time.monotonic()
+                self.engine.run(Event.BEFORE_TRAIN_BATCH, state, logger)
+                new_ts, metrics = train_step(state.train_state, batch, rng)
+                state.train_state = new_ts
+                self.train_state = new_ts
+                state.loss = metrics["loss/train/total"]
+                state.metrics = metrics
+                state.outputs = None
+                self.engine.run(Event.AFTER_TRAIN_BATCH, state, logger)
+
+                state.timestamp.to_next_batch(samples=samples)
+                state.batch_wct = _time.monotonic() - t0
+                state.total_wct = _time.monotonic() - fit_start
+                state.lr = float(self._base_lr) * float(
+                    np.asarray(self._schedule(step_idx)))
+                self.engine.run(Event.BATCH_END, state, logger)
+
+                b = state.timestamp.batch
+                if b % 100 == 0 or b <= 1:
+                    logger.log_metrics(
+                        {k: float(np.asarray(v)) for k, v in metrics.items()}
+                        | {"lr": state.lr, "time/batch": b}, step=b)
+
+                if self.eval_interval and b % self.eval_interval == 0 \
+                        and b < self.max_batches and self.evaluators:
+                    self.eval()
+                if self.save_folder and self.save_interval \
+                        and b % self.save_interval == 0:
+                    self.save_checkpoint()
+                self.engine.run(Event.BATCH_CHECKPOINT, state, logger)
+            if not epoch_had_batches:
+                raise RuntimeError("train_dataloader yielded no batches")
+            state.timestamp.to_next_epoch()
+            self.engine.run(Event.EPOCH_END, state, logger)
+            self.engine.run(Event.EPOCH_CHECKPOINT, state, logger)
+
+        if self.save_folder:
+            self.save_checkpoint()
+        self.engine.run(Event.FIT_END, state, logger)
+
+    # ------------------------------------------------------------------
+    def _make_eval_step(self) -> Callable:
+        model, frozen = self.model, self.frozen
+        bins = tuple(getattr(model, "loss_bins", ()) or ())
+        num_t = getattr(model.noise_scheduler, "num_train_timesteps", 1000)
+
+        def eval_fn(params, batch, rng):
+            batch = dict(batch)
+            valid = batch.pop("_valid", None)
+            pred, target, t = model.forward(params, frozen, batch, rng)
+            err = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))
+            per_example = jnp.mean(err, axis=tuple(range(1, err.ndim)))
+            if valid is None:
+                valid = jnp.ones_like(per_example)
+            out = {"MeanSquaredError": (jnp.sum(per_example * valid),
+                                        jnp.sum(valid))}
+            for lo, hi in bins:
+                mask = ((t >= lo * num_t) & (t < hi * num_t)).astype(jnp.float32)
+                mask = mask * valid
+                out[f"MeanSquaredError/bin-{lo}-{hi}"] = (
+                    jnp.sum(per_example * mask), jnp.sum(mask))
+            return out
+
+        return jax.jit(eval_fn)
+
+    def _eval_generate_step(self, scale: float, height: int, width: int) -> Callable:
+        model, frozen = self.model, self.frozen
+
+        @functools.partial(jax.jit, static_argnums=())
+        def gen(params, prompt_ids, rng):
+            return model.generate(params, frozen, prompt_ids, height=height,
+                                  width=width, guidance_scale=scale,
+                                  num_inference_steps=self.eval_num_inference_steps,
+                                  rng=rng)
+
+        return gen
+
+    def eval(self, subset_num_batches: Optional[int] = None) -> Dict[str, float]:
+        state, logger = self.state, self.logger
+        limit = subset_num_batches if subset_num_batches is not None \
+            else self.eval_subset_num_batches
+        self.engine.run(Event.EVAL_START, state, logger)
+        if "eval" not in self._eval_step_cache:
+            self._eval_step_cache["eval"] = self._make_eval_step()
+        eval_step = self._eval_step_cache["eval"]
+        results: Dict[str, float] = {}
+        metric_hooks = getattr(self, "metric_hooks", None)
+
+        for evaluator in self.evaluators:
+            accum: Dict[str, Tuple[float, float]] = {}
+            state.eval_label = evaluator.label
+            for i, host_batch in enumerate(evaluator.dataloader):
+                if limit and limit > 0 and i >= limit:
+                    break
+                state.eval_batch_idx = i
+                from diffusion_tpu.parallel.sharding import pad_batch_to_multiple
+                per_host_multiple = max(self.mesh.size // jax.process_count(), 1)
+                padded = pad_batch_to_multiple(dict(host_batch), per_host_multiple)
+                batch = make_global_batch(padded, self.mesh)
+                state.batch = batch
+                self.engine.run(Event.EVAL_BATCH_START, state, logger)
+                rng = jax.random.fold_in(
+                    jax.random.key(getattr(self.model, "val_seed", 0)), i)
+                parts = eval_step(state.train_state.params, batch, rng)
+                for name, (num, den) in parts.items():
+                    a, b = accum.get(name, (0.0, 0.0))
+                    accum[name] = (a + float(np.asarray(num)),
+                                   b + float(np.asarray(den)))
+                if metric_hooks:
+                    for hook in metric_hooks:
+                        hook.eval_batch(self, evaluator, state, batch, rng)
+                self.engine.run(Event.EVAL_BATCH_END, state, logger)
+            for name, (num, den) in accum.items():
+                if den > 0:
+                    results[f"metrics/{evaluator.label}/{name}"] = num / den
+            if metric_hooks:
+                for hook in metric_hooks:
+                    results.update(hook.eval_end(self, evaluator, state))
+        logger.log_metrics(results, step=state.timestamp.batch)
+        self.engine.run(Event.EVAL_END, state, logger)
+        return results
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self) -> Optional[str]:
+        """Write a checkpoint with EMA weights active (reference ema.py:276-278)."""
+        if not self.save_folder:
+            return None
+        state = self.state
+        if self.ema_algorithm:
+            self.ema_algorithm.swap_in(state)
+        meta = {
+            "timestamp": state.timestamp.state_dict(),
+            "run_name": self.run_name,
+            "seed": self.seed,
+            "algorithms": {type(a).__name__: a.state_dict()
+                           for a in self.engine.algorithms},
+            "callbacks": {type(c).__name__: c.state_dict()
+                          for c in self.engine.callbacks},
+        }
+        path = ckpt.save_checkpoint(self.save_folder, state.timestamp.batch,
+                                    state.train_state, meta,
+                                    overwrite=self.save_overwrite)
+        if self.ema_algorithm:
+            self.ema_algorithm.swap_out(state)
+        self.train_state = state.train_state
+        return path
+
+    def _abstract_train_state(self):
+        def absify(x, sh):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
+        ts = self.train_state
+        return jax.tree.map(
+            absify, ts,
+            TrainState(step=replicated(self.mesh), params=self.params_shardings,
+                       opt_state=self.opt_shardings,
+                       ema_params=(self.params_shardings
+                                   if ts.ema_params is not None else None)))
+
+    def _maybe_restore(self, autoresume: bool, load_path: Optional[str],
+                       load_weights_only: bool) -> None:
+        path = None
+        if autoresume and self.save_folder:
+            path = ckpt.latest_checkpoint_path(self.save_folder)
+        if path is None and load_path:
+            path = load_path
+        if path is None:
+            return
+        restored, meta = ckpt.load_checkpoint(path, self._abstract_train_state())
+        if load_weights_only:
+            self.train_state = self.train_state.replace(params=restored.params)
+        else:
+            self.train_state = restored
+            self.state.timestamp.load_state_dict(meta.get("timestamp", {}))
+            for a in self.engine.algorithms:
+                a.load_state_dict(meta.get("algorithms", {}).get(type(a).__name__, {}))
+            for c in self.engine.callbacks:
+                c.load_state_dict(meta.get("callbacks", {}).get(type(c).__name__, {}))
+        self.state.train_state = self.train_state
+        # checkpoints are written EMA-active; swap back for continued training
+        if self.ema_algorithm and self.ema_algorithm.ema_weights_active \
+                and not load_weights_only:
+            self.ema_algorithm.swap_out(self.state)
+            self.train_state = self.state.train_state
+
+    def close(self) -> None:
+        self.logger.close()

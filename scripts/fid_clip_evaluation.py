@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Offline FID + CLIPScore evaluation on COCO-2014-val.
+
+TPU-native equivalent of the reference's offline eval script (reference:
+scripts/fid-clip-evaluation.py): builds the COCO val loader (ref :39-49),
+an SD2 model with FID+CLIPScore at one guidance scale (ref :58-79), loads a
+checkpoint weights-only (ref :101-108), runs the eval loop (ref :109), and
+logs 10 fixed prompts' images (ref :88-95).
+
+Usage:
+  python scripts/fid_clip_evaluation.py --remote <coco-mds> \
+      --load_path <ckpt-dir> --guidance_scale 3.0 [--size 256] [--seed 1138]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROMPTS = [
+    "a couple waiting to cross the street",
+    "a kitchen with a refrigerator, stove and sink",
+    "a man riding skis down a snow covered slope",
+    "a group of people standing on a beach flying kites",
+    "a bathroom with a toilet, sink and mirror",
+    "two giraffes standing next to each other in a field",
+    "a bus driving down a city street next to tall buildings",
+    "a plate of food with broccoli and meat",
+    "a baseball player swinging a bat at a ball",
+    "a vase filled with flowers on a table",
+]
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--remote", required=True)
+    p.add_argument("--local", default=None)
+    p.add_argument("--load_path", default=None)
+    p.add_argument("--guidance_scale", type=float, default=3.0)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--seed", type=int, default=1138)
+    p.add_argument("--subset_num_batches", type=int, default=-1)
+    p.add_argument("--tokenizer", default=None)
+    args = p.parse_args()
+
+    from diffusion_tpu.callbacks.log_diffusion_images import LogDiffusionImages
+    from diffusion_tpu.data.coco import build_streaming_cocoval_dataloader
+    from diffusion_tpu.models.models import stable_diffusion_2
+    from diffusion_tpu.parallel import dist
+    from diffusion_tpu.train.trainer import Evaluator, Trainer
+    from diffusion_tpu.utils.logging import ConsoleLogger, FileLogger
+
+    dist.initialize()
+    loader = build_streaming_cocoval_dataloader(
+        remote=args.remote, local=args.local, batch_size=args.batch_size,
+        resize_size=args.size, tokenizer_name_or_path=args.tokenizer)
+    model = stable_diffusion_2(
+        model_name=args.tokenizer, pretrained=False,
+        val_metrics=["FrechetInceptionDistance", "CLIPScore"],
+        val_guidance_scales=[args.guidance_scale], val_seed=args.seed,
+        fsdp=True)
+    trainer = Trainer(
+        model=model,
+        eval_dataloader=[Evaluator("coco-val", loader,
+                                   model.val_metric_names)],
+        loggers=[ConsoleLogger(log_interval=1),
+                 FileLogger("eval_metrics.jsonl")],
+        callbacks=[LogDiffusionImages(PROMPTS, size=args.size,
+                                      guidance_scale=args.guidance_scale,
+                                      seed=args.seed)],
+        load_path=args.load_path, load_weights_only=True,
+        image_size=args.size, max_duration="1ba",
+        eval_num_inference_steps=args.num_inference_steps,
+        eval_subset_num_batches=args.subset_num_batches)
+    results = trainer.eval()
+    for k, v in sorted(results.items()):
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Data layer tests: MDS round-trip, streaming determinism + partition
+disjointness (SURVEY.md §4), loaders, transforms, filters, datapipes, mix."""
+
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from diffusion_tpu.data.dataloader import DataLoader, default_collate
+from diffusion_tpu.data.datapipes import (WdsPipeline, batcher, list_shards,
+                                          sample_multiplexer, sample_shuffle,
+                                          tar_samples)
+from diffusion_tpu.data.filters import filter_fn
+from diffusion_tpu.data.mds import MDSIndex, MDSShardReader, MDSWriter
+from diffusion_tpu.data.streaming import Stream, StreamingDataset
+from diffusion_tpu.data.transforms import (CenterCropSDTransform,
+                                           LargestCenterSquare, sd_normalize)
+
+
+def _jpeg_bytes(w=40, h=30, color=(255, 0, 0)):
+    img = Image.new("RGB", (w, h), color)
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    return buf.getvalue()
+
+
+def make_mds(tmp_path, n=25, size_limit=2000):
+    out = str(tmp_path / "mds")
+    with MDSWriter(out, {"jpg": "bytes", "caption": "str", "idx": "int"},
+                   size_limit=size_limit) as w:
+        for i in range(n):
+            w.write({"jpg": _jpeg_bytes(), "caption": f"caption {i}", "idx": i})
+    return out
+
+
+def test_mds_roundtrip(tmp_path):
+    out = make_mds(tmp_path)
+    index = MDSIndex(out)
+    assert index.num_samples == 25
+    assert len(index.shards) > 1  # size_limit forced multiple shards
+    reader = MDSShardReader.from_shard_info(out, index.shards[0])
+    s0 = reader.get(0)
+    assert s0["caption"] == "caption 0"
+    assert s0["idx"] == 0
+    assert Image.open(io.BytesIO(s0["jpg"])).size == (40, 30)
+
+
+def test_streaming_dataset_access_and_order(tmp_path):
+    out = make_mds(tmp_path)
+    ds = StreamingDataset(local=out, shuffle=True, shuffle_seed=5,
+                          num_canonical_nodes=4)
+    assert len(ds) == 25
+    assert ds.get_sample(13)["idx"] == 13
+
+    o1 = ds.epoch_order(0)
+    o2 = ds.epoch_order(0)
+    o3 = ds.epoch_order(1)
+    np.testing.assert_array_equal(o1, o2)            # deterministic
+    assert not np.array_equal(o1, o3)                # varies by epoch
+    assert sorted(o1.tolist()) == list(range(25))    # a permutation
+
+
+def test_streaming_partition_disjoint_complete(tmp_path):
+    out = make_mds(tmp_path)
+    ds = StreamingDataset(local=out, shuffle=True, num_canonical_nodes=2)
+    parts = [ds.partition(0, r, 4) for r in range(4)]
+    all_ids = np.concatenate(parts)
+    assert len(all_ids) == 25
+    assert len(set(all_ids.tolist())) == 25          # disjoint + complete
+    assert max(len(p) for p in parts) - min(len(p) for p in parts) <= 1
+
+
+def test_streaming_remote_download(tmp_path):
+    remote = make_mds(tmp_path)
+    local = str(tmp_path / "cache")
+    ds = StreamingDataset(remote=remote, local=local, shuffle=False)
+    assert ds.get_sample(3)["idx"] == 3
+    assert os.path.exists(os.path.join(local, "index.json"))
+
+
+def test_dataloader_batches(tmp_path):
+    out = make_mds(tmp_path, n=25)
+
+    class Identity(StreamingDataset):
+        def process_sample(self, s):
+            return {"idx": np.int64(s["idx"]), "x": np.ones(3, np.float32)}
+
+    ds = Identity(local=out, shuffle=False)
+    dl = DataLoader(ds, batch_size=4, drop_last=True, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 6                          # 25 // 4
+    assert batches[0]["x"].shape == (4, 3)
+    seen = np.concatenate([b["idx"] for b in batches])
+    assert len(set(seen.tolist())) == 24
+
+    # resume mid-epoch
+    dl2 = DataLoader(ds, batch_size=4, drop_last=True, num_workers=1)
+    dl2.load_state_dict({"epoch": 0, "batch_in_epoch": 3})
+    rest = list(dl2)
+    assert len(rest) == 3
+    np.testing.assert_array_equal(rest[0]["idx"], batches[3]["idx"])
+
+
+def test_collate():
+    out = default_collate([{"a": np.ones(2), "b": 1, "c": "x"},
+                           {"a": np.zeros(2), "b": 2, "c": "y"}])
+    assert out["a"].shape == (2, 2)
+    np.testing.assert_array_equal(out["b"], [1, 2])
+    assert out["c"] == ["x", "y"]
+
+
+def test_largest_center_square():
+    img = Image.new("RGB", (100, 60))
+    out = LargestCenterSquare(32)(img)
+    assert out.size == (32, 32)
+    arr = sd_normalize(out)
+    assert arr.shape == (32, 32, 3)
+    assert arr.min() >= -1 and arr.max() <= 1
+
+
+def test_center_crop_sd_transform():
+    img = Image.new("RGB", (100, 60), (255, 255, 255))
+    arr = CenterCropSDTransform(size=16)(img)
+    assert arr.shape == (16, 16, 3)
+    np.testing.assert_allclose(arr, 1.0, atol=1e-2)   # white -> ~1.0
+
+
+def test_filter_fn():
+    strat = {"short_side": {"min": 256, "default": False},
+             "aesthetic": {"min": 5.0, "default": True},
+             "punsafe": {"max": 0.5, "default": True}}
+    ok = {"json": {"height": 512, "width": 300, "aesthetic": 6.0, "punsafe": 0.1}}
+    assert filter_fn(ok, strat)
+    assert not filter_fn({"json": {"height": 100, "width": 300}}, strat)
+    assert not filter_fn({"json": {}}, strat)                       # missing side -> drop
+    assert not filter_fn({"json": {"height": 512, "width": 512,
+                                   "AESTHETIC_SCORE": 2.0}}, strat)  # variant key
+    assert not filter_fn({"json": {"height": 512, "width": 512,
+                                   "punsafe": 0.9}}, strat)
+    assert filter_fn({"json": {}}, None)                             # no strategy
+
+
+def _make_tar(tmp_path, name, n, caption_key="txt"):
+    path = str(tmp_path / name)
+    with tarfile.open(path, "w") as tf:
+        for i in range(n):
+            for ext, data in ((f"jpg", _jpeg_bytes()),
+                              (caption_key, f"sample {name}-{i}".encode()),
+                              ("json", json.dumps({"height": 512,
+                                                   "width": 512}).encode())):
+                info = tarfile.TarInfo(f"{name}-{i:04d}.{ext}")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+    return path
+
+
+def test_tar_samples_grouping(tmp_path):
+    shard = _make_tar(tmp_path, "a.tar", 5)
+    samples = list(tar_samples([shard]))
+    assert len(samples) == 5
+    assert set(samples[0]) >= {"jpg", "txt", "json", "__key__"}
+
+
+def test_wds_pipeline_end_to_end(tmp_path):
+    shards = [_make_tar(tmp_path, f"{i}.tar", 6) for i in range(3)]
+    from diffusion_tpu.data.wds import build_wds_dataloader
+    dl = build_wds_dataloader(urls=shards, batch_size=4, resize_size=16,
+                              shuffle_buffer=8, shuffle=True)
+    batches = list(iter(dl))
+    assert len(batches) == 4                          # 18 samples // 4
+    assert batches[0]["image"].shape == (4, 16, 16, 3)
+    assert batches[0]["captions"].shape == (4, 77)
+
+    # next epoch yields a different order (shard shuffle by epoch)
+    b2 = list(iter(dl))
+    assert len(b2) == 4
+
+
+def test_wds_list_shards_from_dir(tmp_path):
+    _make_tar(tmp_path, "x.tar", 1)
+    _make_tar(tmp_path, "y.tar", 1)
+    assert len(list_shards(str(tmp_path))) == 2
+
+
+def test_sample_multiplexer_weights():
+    a = list(range(1000))
+    b = list(range(1000, 2000))
+    mixed = list(sample_multiplexer({tuple(a): 0.9, tuple(b): 0.1}, seed=0))
+    first_500 = mixed[:500]
+    frac_a = sum(1 for x in first_500 if x < 1000) / 500
+    assert 0.8 < frac_a <= 1.0
+    assert len(mixed) == 2000                          # nothing lost
+
+
+def test_sample_shuffle_preserves_elements():
+    out = list(sample_shuffle(range(100), buffer_size=10, seed=1))
+    assert sorted(out) == list(range(100))
+    assert out != list(range(100))
+
+
+def test_mix_dataloader(tmp_path):
+    shards_a = [_make_tar(tmp_path, "ma.tar", 8)]
+    shards_b = [_make_tar(tmp_path, "mb.tar", 8)]
+    from diffusion_tpu.data.mix import build_mix_dataloader
+    dl = build_mix_dataloader(
+        datapipes={
+            "a": {"_target_": "diffusion_tpu.data.wds.build_wds_dataloader",
+                  "weight": 3.0, "urls": shards_a},
+            "b": {"_target_": "diffusion_tpu.data.wds.build_wds_dataloader",
+                  "weight": 1.0, "urls": shards_b},
+        },
+        batch_size=4, resize_size=16)
+    batches = list(iter(dl))
+    assert len(batches) == 4
+    assert batches[0]["image"].shape == (4, 16, 16, 3)
+
+
+def test_laion_precomputed_latents(tmp_path):
+    out = str(tmp_path / "laion")
+    lat = np.arange(4 * 32 * 32, dtype=np.float16)
+    cap = np.arange(77 * 1024, dtype=np.float16)
+    with MDSWriter(out, {"jpg": "bytes", "caption": "str",
+                         "latents_256": "bytes", "caption_latents": "bytes"}) as w:
+        for i in range(4):
+            w.write({"jpg": _jpeg_bytes(), "caption": f"c{i}",
+                     "latents_256": lat.tobytes(),
+                     "caption_latents": cap.tobytes()})
+    from diffusion_tpu.data.laion import build_streaming_laion_dataloader
+    dl = build_streaming_laion_dataloader(remote=out, batch_size=2,
+                                          resize_size=256,
+                                          precomputed_latents=True,
+                                          shuffle=False, num_workers=1)
+    batch = next(iter(dl))
+    assert batch["image_latents"].shape == (2, 32, 32, 4)   # NHWC delivery
+    assert batch["caption_latents"].shape == (2, 77, 1024)
+
+
+def test_coco_dataset_zero_one_range(tmp_path):
+    out = str(tmp_path / "coco")
+    with MDSWriter(out, {"image": "bytes", "captions": "json"}) as w:
+        for i in range(3):
+            w.write({"image": _jpeg_bytes(64, 64, (128, 128, 128)),
+                     "captions": [f"first {i}", f"second {i}"]})
+    from diffusion_tpu.data.coco import build_streaming_cocoval_dataloader
+    dl = build_streaming_cocoval_dataloader(remote=out, batch_size=3,
+                                            resize_size=32, num_workers=1)
+    batch = next(iter(dl))
+    img = batch["image"]
+    assert img.shape == (3, 32, 32, 3)
+    assert img.min() >= 0.0 and img.max() <= 1.0       # FID range, no +-1
+    assert batch["captions"].shape == (3, 77)
