@@ -10,6 +10,7 @@ north-star of 2300 img/s (= 71.9 img/s/chip), BASELINE.json.
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -29,11 +30,17 @@ def main() -> None:
     n_dev = jax.device_count()
     mesh = create_mesh(fsdp=1, data=n_dev)  # single-chip: pure DP degenerate
     per_chip_batch = int(float(__import__("os").environ.get(
-        "BENCH_BATCH_PER_CHIP", "32")))
+        "BENCH_BATCH_PER_CHIP", "16")))  # = reference's per-GPU microbatch
     bsz = per_chip_batch * n_dev
 
+    # remat: on one chip the full fp32 AdamW state (10.4 GB for the 866M
+    # UNet) + grads leaves <3 GB for activations; per-block remat trades
+    # ~30% recompute FLOPs for fitting the reference's 16/chip microbatch.
+    # On a pod the fsdp axis shards the optimizer state and remat turns off.
+    remat = __import__("os").environ.get("BENCH_REMAT", "1") == "1"
     model = stable_diffusion_2(pretrained=False, precomputed_latents=True,
-                               encode_latents_in_fp16=True, fsdp=False)
+                               encode_latents_in_fp16=True, fsdp=False,
+                               remat=remat)
     rng = jax.random.key(0)
     p_sh = None
 
@@ -50,7 +57,7 @@ def main() -> None:
     def loss_fn(p, batch, r):
         return model.loss_fn(p, {}, batch, r)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(p, o, batch, r):
         loss, grads = jax.value_and_grad(loss_fn)(p, batch, r)
         updates, o = tx.update(grads, o, p)
@@ -71,12 +78,14 @@ def main() -> None:
     params, opt_state, loss = train_step(params, opt_state, batch, rng)
     jax.block_until_ready(loss)
 
-    steps = 20
+    steps = 10
     t0 = time.perf_counter()
     for i in range(steps):
         params, opt_state, loss = train_step(params, opt_state, batch,
                                              jax.random.fold_in(rng, i))
-    jax.block_until_ready(loss)
+        # serialize dispatches: without backpressure the async queue stacks
+        # per-step transients and can exhaust HBM through the runtime
+        jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
     img_per_sec = bsz * steps / dt

@@ -74,6 +74,26 @@ def apply_sharding(items: Iterable[Any], world_size: int, rank: int) -> Iterator
             yield item
 
 
+def _tar_entries(shard: str):
+    """(name, data) pairs for regular files; native single-pass index when
+    libdataio.so is built (csrc/dataio.cpp — python tarfile is pure Python
+    and dominates shard-read CPU), else the tarfile fallback."""
+    from diffusion_tpu.data.native import native_available, tar_index
+    if native_available() and not shard.endswith((".gz", ".tgz", ".bz2", ".xz")):
+        with open(shard, "rb") as f:
+            data = f.read()
+        for name, off, size in tar_index(shard):
+            yield name, data[off:off + size]
+        return
+    with tarfile.open(shard, mode="r|*") as tf:
+        for member in tf:
+            if not member.isfile():
+                continue
+            fobj = tf.extractfile(member)
+            if fobj is not None:
+                yield member.name, fobj.read()
+
+
 def tar_samples(shards: Iterable[str],
                 handler: Callable[[BaseException], bool] = log_and_continue
                 ) -> Iterator[Dict[str, Any]]:
@@ -81,27 +101,21 @@ def tar_samples(shards: Iterable[str],
     basename become one dict keyed by extension, plus __key__/__url__."""
     for shard in shards:
         try:
-            with tarfile.open(shard, mode="r|*") as tf:
-                current_key: Optional[str] = None
-                sample: Dict[str, Any] = {}
-                for member in tf:
-                    if not member.isfile():
-                        continue
-                    name = member.name
-                    base, _, ext = name.rpartition(".")
-                    ext = ext.lower()
-                    if not base:       # no extension at all
-                        base, ext = ext, ""
-                    if base != current_key:
-                        if current_key is not None and sample:
-                            yield sample
-                        current_key = base
-                        sample = {"__key__": base, "__url__": shard}
-                    fobj = tf.extractfile(member)
-                    if fobj is not None:
-                        sample[ext] = fobj.read()
-                if current_key is not None and sample:
-                    yield sample
+            current_key: Optional[str] = None
+            sample: Dict[str, Any] = {}
+            for name, data in _tar_entries(shard):
+                base, _, ext = name.rpartition(".")
+                ext = ext.lower()
+                if not base:       # no extension at all
+                    base, ext = ext, ""
+                if base != current_key:
+                    if current_key is not None and sample:
+                        yield sample
+                    current_key = base
+                    sample = {"__key__": base, "__url__": shard}
+                sample[ext] = data
+            if current_key is not None and sample:
+                yield sample
         except Exception as e:  # tar-level corruption: skip shard
             if not handler(e):
                 raise

@@ -56,12 +56,24 @@ def save_checkpoint(save_folder: str, batch: int, train_state: Any,
     return path
 
 
-def load_checkpoint(path: str, abstract_state: Any) -> Tuple[Any, Dict[str, Any]]:
+def load_checkpoint(path: str, abstract_state: Any,
+                    partial: bool = False) -> Tuple[Any, Dict[str, Any]]:
     """Restore a checkpoint dir into the sharding/structure of
-    `abstract_state` (jax.eval_shape output with shardings attached)."""
-    state_path = os.path.join(path, "state")
-    ckptr = _checkpointer()
-    restored = ckptr.restore(os.path.abspath(state_path), abstract_state)
+    `abstract_state` (jax.eval_shape output with shardings attached).
+
+    partial=True restores only the subtree present in `abstract_state`
+    (weights-only loads from checkpoints that carry opt/EMA state, the
+    reference's `load_weights_only`, fid-clip-evaluation.py:103-105)."""
+    state_path = os.path.abspath(os.path.join(path, "state"))
+    if partial:
+        import orbax.checkpoint as ocp
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                state_path,
+                args=ocp.args.PyTreeRestore(item=abstract_state,
+                                            partial_restore=True))
+    else:
+        restored = _checkpointer().restore(state_path, abstract_state)
     meta_path = os.path.join(path, _COMPLETE)
     meta: Dict[str, Any] = {}
     if os.path.exists(meta_path):

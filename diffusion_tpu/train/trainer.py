@@ -495,20 +495,26 @@ class Trainer:
             path = load_path
         if path is None:
             return
-        restored, meta = ckpt.load_checkpoint(path, self._abstract_train_state())
         if load_weights_only:
-            self.train_state = self.train_state.replace(params=restored.params)
-        else:
-            self.train_state = restored
-            self.state.timestamp.load_state_dict(meta.get("timestamp", {}))
-            for a in self.engine.algorithms:
-                a.load_state_dict(meta.get("algorithms", {}).get(type(a).__name__, {}))
-            for c in self.engine.callbacks:
-                c.load_state_dict(meta.get("callbacks", {}).get(type(c).__name__, {}))
+            # partial restore: only the params subtree, regardless of what
+            # optimizer/EMA state the checkpoint carries
+            abstract = self._abstract_train_state()
+            restored, meta = ckpt.load_checkpoint(
+                path, {"params": abstract.params}, partial=True)
+            self.train_state = self.train_state.replace(
+                params=restored["params"])
+            self.state.train_state = self.train_state
+            return
+        restored, meta = ckpt.load_checkpoint(path, self._abstract_train_state())
+        self.train_state = restored
+        self.state.timestamp.load_state_dict(meta.get("timestamp", {}))
+        for a in self.engine.algorithms:
+            a.load_state_dict(meta.get("algorithms", {}).get(type(a).__name__, {}))
+        for c in self.engine.callbacks:
+            c.load_state_dict(meta.get("callbacks", {}).get(type(c).__name__, {}))
         self.state.train_state = self.train_state
         # checkpoints are written EMA-active; swap back for continued training
-        if self.ema_algorithm and self.ema_algorithm.ema_weights_active \
-                and not load_weights_only:
+        if self.ema_algorithm and self.ema_algorithm.ema_weights_active:
             self.ema_algorithm.swap_out(self.state)
             self.train_state = self.state.train_state
 

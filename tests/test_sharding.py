@@ -1,0 +1,74 @@
+"""Mesh + partition-spec rules (pjit sharding on the virtual CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from diffusion_tpu.parallel.mesh import create_mesh
+from diffusion_tpu.parallel.sharding import (batch_spec, make_global_batch,
+                                             pad_batch_to_multiple, param_spec,
+                                             param_shardings)
+
+
+def test_create_mesh_inference():
+    mesh = create_mesh(fsdp=-1)
+    assert mesh.shape == {"dcn": 1, "fsdp": 8, "data": 1}
+    mesh = create_mesh(dcn=2, fsdp=2, data=2)
+    assert mesh.shape == {"dcn": 2, "fsdp": 2, "data": 2}
+    with pytest.raises(ValueError):
+        create_mesh(fsdp=3)  # 8 % 3 != 0
+    with pytest.raises(ValueError):
+        create_mesh(fsdp=-1, data=-1)
+
+
+def test_param_spec_rules():
+    mesh = create_mesh(fsdp=-1)
+    # large 2D: shard largest dim
+    leaf = jnp.zeros((1024, 512))
+    assert param_spec(leaf, mesh, min_size=0) == P("fsdp", None)
+    # conv kernel HWIO: largest divisible dim
+    leaf = jnp.zeros((3, 3, 320, 640))
+    assert param_spec(leaf, mesh, min_size=0) == P(None, None, None, "fsdp")
+    # small leaf: replicated
+    assert param_spec(jnp.zeros((32,)), mesh, min_size=2 ** 16) == P()
+    # indivisible dims: replicated
+    assert param_spec(jnp.zeros((7, 9)), mesh, min_size=0) == P()
+    # fsdp=1 mesh: everything replicated
+    mesh1 = create_mesh(fsdp=1, data=-1)
+    assert param_spec(jnp.zeros((1024, 512)), mesh1, min_size=0) == P()
+
+
+def test_batch_spec_covers_all_axes():
+    mesh = create_mesh(dcn=2, fsdp=2, data=2)
+    assert batch_spec(mesh) == P(("dcn", "fsdp", "data"))
+
+
+def test_make_global_batch_sharded():
+    mesh = create_mesh(fsdp=-1)
+    batch = {"x": np.ones((16, 3), np.float32)}
+    g = make_global_batch(batch, mesh)
+    assert g["x"].shape == (16, 3)
+    assert len(g["x"].sharding.device_set) == 8
+
+
+def test_pad_batch_to_multiple():
+    batch = {"x": np.ones((5, 2), np.float32)}
+    out = pad_batch_to_multiple(batch, 8)
+    assert out["x"].shape == (8, 2)
+    np.testing.assert_array_equal(out["_valid"], [1, 1, 1, 1, 1, 0, 0, 0])
+    # already aligned: no-op padding, mask all ones
+    out2 = pad_batch_to_multiple({"x": np.ones((8, 2))}, 8)
+    assert out2["x"].shape == (8, 2)
+    assert out2["_valid"].sum() == 8
+
+
+def test_param_shardings_tree():
+    mesh = create_mesh(fsdp=-1)
+    params = {"a": jnp.zeros((1024, 256)), "b": {"c": jnp.zeros((8,))}}
+    sh = param_shardings(params, mesh, shard=True, min_size=0)
+    assert sh["a"].spec == P("fsdp", None)
+    assert sh["b"]["c"].spec == P("fsdp")  # (8,) divisible by 8
+    sh_rep = param_shardings(params, mesh, shard=False)
+    assert sh_rep["a"].spec == P()
