@@ -42,9 +42,11 @@ def image_to_base64_png(image01: np.ndarray) -> str:
 class StableDiffusionInference:
     def __init__(self, checkpoint_path: Optional[str] = None,
                  model_name: Optional[str] = None,
-                 default_size: int = 512, seed: int = 0, **model_kwargs: Any):
-        self.model = stable_diffusion_2(model_name=model_name, pretrained=False,
-                                        fsdp=False, **model_kwargs)
+                 default_size: int = 512, seed: int = 0,
+                 builder: Any = None, **model_kwargs: Any):
+        builder = builder or stable_diffusion_2
+        self.model = builder(model_name=model_name, pretrained=False,
+                             fsdp=False, **model_kwargs)
         self.default_size = default_size
         self.seed = seed
         params, frozen = self.model.init_params(jax.random.key(seed),

@@ -66,14 +66,23 @@ class UNet2DCondition(nn.Module):
     config: UNetConfig = SD2_BASE_UNET
     dtype: Any = jnp.float32
     remat: bool = False
+    # 'full' recomputes whole blocks (max memory win); 'dots' saves MXU
+    # outputs and recomputes only elementwise/VPU work (~1.1x FLOPs, still
+    # drops the big norm/activation residuals from HBM)
+    remat_policy: str = "dots"
 
     @nn.compact
     def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,
                  encoder_hidden_states: jnp.ndarray) -> jnp.ndarray:
         """sample (B,H,W,Cin) NHWC, timesteps (B,), context (B,S,cross_dim)."""
         cfg = self.config
-        Res = nn.remat(ResnetBlock) if self.remat else ResnetBlock
-        Attn = nn.remat(Transformer2D) if self.remat else Transformer2D
+        if self.remat:
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if self.remat_policy == "dots" else None)
+            Res = nn.remat(ResnetBlock, policy=policy)
+            Attn = nn.remat(Transformer2D, policy=policy)
+        else:
+            Res, Attn = ResnetBlock, Transformer2D
 
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))

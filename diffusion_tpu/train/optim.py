@@ -26,14 +26,19 @@ Schedule = Callable[[int], float]
 
 
 def adamw(lr: float = 1e-4, betas: Sequence[float] = (0.9, 0.999),
-          eps: float = 1e-8, weight_decay: float = 0.01) -> dict:
+          eps: float = 1e-8, weight_decay: float = 0.01,
+          mu_dtype: Optional[str] = None) -> dict:
     """AdamW config node (torch.optim.AdamW parity, reference yaml :55-58).
 
     Returns a spec dict; `build_optimizer` combines it with the LR schedule
     so the schedule multiplies the base lr exactly like Composer does.
+    `mu_dtype='bfloat16'` halves the first-moment memory — useful on chips
+    that must hold the full optimizer state (on pods the fsdp axis shards it,
+    the reference's SHARD_GRAD_OP equivalent).
     """
     return {"name": "adamw", "lr": float(lr), "betas": tuple(betas),
-            "eps": float(eps), "weight_decay": float(weight_decay)}
+            "eps": float(eps), "weight_decay": float(weight_decay),
+            "mu_dtype": mu_dtype}
 
 
 def build_optimizer(spec: Optional[dict] = None,
@@ -49,7 +54,8 @@ def build_optimizer(spec: Optional[dict] = None,
         def lr(step):
             return base_lr * schedule(step)
     tx = optax.adamw(learning_rate=lr, b1=spec["betas"][0], b2=spec["betas"][1],
-                     eps=spec["eps"], weight_decay=spec["weight_decay"])
+                     eps=spec["eps"], weight_decay=spec["weight_decay"],
+                     mu_dtype=spec.get("mu_dtype"))
     if grad_clip_norm:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
     return tx

@@ -132,7 +132,11 @@ class Trainer:
         elif isinstance(loggers, Logger):
             loggers = [loggers]
         self.logger = LoggerCollection(loggers)
-        self.engine = EventEngine(algorithms or [], callbacks or [])
+        callbacks = list(callbacks or [])
+        if log_traces:
+            from diffusion_tpu.utils.profiler import JaxProfiler
+            callbacks.append(JaxProfiler())
+        self.engine = EventEngine(algorithms or [], callbacks)
         self.ema_algorithm: Optional[EMA] = next(
             (a for a in self.engine.algorithms if isinstance(a, EMA)), None)
 
@@ -467,6 +471,9 @@ class Trainer:
             "callbacks": {type(c).__name__: c.state_dict()
                           for c in self.engine.callbacks},
         }
+        # loader-position resume (Composer autoresume parity)
+        if hasattr(self.train_dataloader, "state_dict"):
+            meta["dataloader"] = self.train_dataloader.state_dict()
         path = ckpt.save_checkpoint(self.save_folder, state.timestamp.batch,
                                     state.train_state, meta,
                                     overwrite=self.save_overwrite)
@@ -512,6 +519,9 @@ class Trainer:
             a.load_state_dict(meta.get("algorithms", {}).get(type(a).__name__, {}))
         for c in self.engine.callbacks:
             c.load_state_dict(meta.get("callbacks", {}).get(type(c).__name__, {}))
+        if "dataloader" in meta and hasattr(self.train_dataloader,
+                                            "load_state_dict"):
+            self.train_dataloader.load_state_dict(meta["dataloader"])
         self.state.train_state = self.train_state
         # checkpoints are written EMA-active; swap back for continued training
         if self.ema_algorithm and self.ema_algorithm.ema_weights_active:

@@ -1,0 +1,83 @@
+"""Serving endpoint: predict() contract and the HTTP surface."""
+
+import base64
+import io
+import json
+import threading
+from http.client import HTTPConnection
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from diffusion_tpu.inference.inference_model import StableDiffusionInference
+from diffusion_tpu.inference.serve import make_server
+from diffusion_tpu.models.models import stable_diffusion_tiny
+
+
+@pytest.fixture(scope="module")
+def endpoint():
+    return StableDiffusionInference(builder=stable_diffusion_tiny,
+                                    default_size=32, seed=0)
+
+
+def _decode_png(b64: str) -> np.ndarray:
+    return np.asarray(Image.open(io.BytesIO(base64.b64decode(b64))))
+
+
+def test_predict_returns_base64_pngs(endpoint):
+    images = endpoint.predict(prompt="a majestic lion", num_inference_steps=1,
+                              guidance_scale=3.0)
+    assert len(images) == 1
+    arr = _decode_png(images[0])
+    assert arr.shape == (32, 32, 3)
+    assert arr.dtype == np.uint8
+
+
+def test_predict_parses_inputs(endpoint):
+    images = endpoint.predict(prompt=["a", "b"], negative_prompt="ugly",
+                              num_inference_steps=1, guidance_scale=1.0,
+                              height=32, width=32, seed=3)
+    assert len(images) == 2
+    # determinism in seed
+    again = endpoint.predict(prompt=["a", "b"], negative_prompt="ugly",
+                             num_inference_steps=1, guidance_scale=1.0,
+                             height=32, width=32, seed=3)
+    assert images == again
+
+
+def test_predict_requires_prompt(endpoint):
+    with pytest.raises(ValueError):
+        endpoint.predict(guidance_scale=1.0)
+
+
+def test_http_server(endpoint):
+    server = make_server(endpoint, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        conn = HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/health")
+        assert json.loads(conn.getresponse().read())["status"] == "ok"
+
+        body = json.dumps({"prompt": "hi", "num_inference_steps": 1,
+                           "guidance_scale": 1.0, "height": 32, "width": 32})
+        conn.request("POST", "/predict", body=body,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        images = json.loads(resp.read())["images"]
+        assert _decode_png(images[0]).shape == (32, 32, 3)
+
+        # probe: missing prompt -> 400 with an error message
+        conn.request("POST", "/predict", body="{}")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "prompt" in json.loads(resp.read())["error"]
+
+        # probe: unknown path -> 404
+        conn.request("POST", "/nope", body="{}")
+        assert conn.getresponse().status == 404
+    finally:
+        server.shutdown()
