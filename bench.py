@@ -29,10 +29,13 @@ def main() -> None:
 
     n_dev = jax.device_count()
     mesh = create_mesh(fsdp=1, data=n_dev)  # single-chip: pure DP degenerate
-    # batch 16/chip (the reference's per-GPU microbatch): fits beside the
-    # bf16-mu AdamW state + dots-remat activations in 15 GB usable HBM
-    per_chip_batch = int(float(__import__("os").environ.get(
-        "BENCH_BATCH_PER_CHIP", "16")))
+    import os as _os
+    res = int(_os.environ.get("BENCH_RES", "256"))   # 256 or 512 (headline pair)
+    lat = res // 8
+    # batch 16/chip (the reference's per-GPU microbatch) at 256px; 512px
+    # quadruples activation tokens -> batch 4 fits
+    per_chip_batch = int(float(_os.environ.get(
+        "BENCH_BATCH_PER_CHIP", "16" if res == 256 else "4")))
     bsz = per_chip_batch * n_dev
 
     # Memory budget on one 16 GB chip: fp32 params 3.5 GB + grads 3.5 GB +
@@ -41,7 +44,6 @@ def main() -> None:
     # uses bf16 first moments + 'dots' remat (save MXU outputs, recompute
     # elementwise). On a pod the fsdp axis shards the optimizer state (the
     # reference's SHARD_GRAD_OP) and neither trick is needed.
-    import os as _os
     remat = _os.environ.get("BENCH_REMAT", "1") == "1"
     model = stable_diffusion_2(pretrained=False, precomputed_latents=True,
                                encode_latents_in_fp16=True, fsdp=False,
@@ -52,7 +54,7 @@ def main() -> None:
     # precomputed-latent path never touches VAE/CLIP: init ONLY the UNet so
     # the frozen towers' 1.7 GB never lands in HBM
     def init_unet(r):
-        return model.unet.init(r, jnp.zeros((1, 32, 32, 4)),
+        return model.unet.init(r, jnp.zeros((1, lat, lat, 4)),
                                jnp.zeros((1,), jnp.int32),
                                jnp.zeros((1, 77, 1024)))
     plain = _os.environ.get("BENCH_PLAIN", "0") == "1" or n_dev == 1
@@ -89,7 +91,7 @@ def main() -> None:
 
     batch = {
         "image_latents": jnp.asarray(
-            np.random.default_rng(0).normal(size=(bsz, 32, 32, 4))
+            np.random.default_rng(0).normal(size=(bsz, lat, lat, 4))
             .astype(np.float16), jnp.bfloat16),
         "caption_latents": jnp.asarray(
             np.random.default_rng(1).normal(size=(bsz, 77, 1024))
@@ -137,9 +139,11 @@ def main() -> None:
 
     img_per_sec = bsz / dt
     per_chip = img_per_sec / n_dev
-    baseline_per_chip = 2300.0 / 32.0  # v4-32 north-star, BASELINE.json
+    # v4-32 north-star (BASELINE.json): 2300 img/s @256; the reference's
+    # 512px numbers are ~3.9x lower (README.md:54-60) -> scaled target
+    baseline_per_chip = (2300.0 if res == 256 else 2300.0 / 3.85) / 32.0
     print(json.dumps({
-        "metric": "unet_train_throughput_256px_per_chip",
+        "metric": f"unet_train_throughput_{res}px_per_chip",
         "value": round(per_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(per_chip / baseline_per_chip, 4),
