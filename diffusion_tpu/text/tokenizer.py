@@ -47,6 +47,28 @@ def _whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+def _is_cjk(cp: int) -> bool:
+    return ((0x4E00 <= cp <= 0x9FFF) or (0x3400 <= cp <= 0x4DBF)
+            or (0x20000 <= cp <= 0x2A6DF) or (0x2A700 <= cp <= 0x2B73F)
+            or (0x2B740 <= cp <= 0x2B81F) or (0x2B820 <= cp <= 0x2CEAF)
+            or (0xF900 <= cp <= 0xFAFF) or (0x2F800 <= cp <= 0x2FA1F))
+
+
+def _split_cjk(text: str) -> str:
+    """Space-pad CJK ideographs so each becomes its own BPE word —
+    transformers.CLIPTokenizer runs BasicTokenizer._tokenize_chinese_chars
+    before BPE; we match its ids exactly (tests/test_tokenizer_parity.py)."""
+    if not any(_is_cjk(ord(c)) for c in text):
+        return text
+    out = []
+    for c in text:
+        if _is_cjk(ord(c)):
+            out.append(f" {c} ")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
 def _get_pairs(word: Tuple[str, ...]) -> set:
     return {(a, b) for a, b in zip(word[:-1], word[1:])}
 
@@ -126,6 +148,7 @@ class CLIPTokenizer:
     def tokenize(self, text: str) -> List[int]:
         """Raw BPE ids, no specials/padding."""
         text = _whitespace_clean(html.unescape(html.unescape(text)).strip()).lower()
+        text = _split_cjk(text)
         ids: List[int] = []
         for token in re.findall(_PAT, text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
