@@ -104,6 +104,10 @@ def make_global_batch(host_batch: Any, mesh: Mesh) -> Any:
     reference's per-rank division, train.py:40); the result is one global
     array sharded over all mesh axes. Single-host: plain device_put.
     """
+    if mesh.size == 1:
+        # single device: plain placement — identical semantics, and some
+        # PJRT runtimes execute non-SPMD programs dramatically faster
+        return jax.tree.map(jax.device_put, host_batch)
     sharding = batch_sharding(mesh)
     if jax.process_count() == 1:
         return jax.tree.map(lambda x: jax.device_put(x, sharding), host_batch)

@@ -216,9 +216,12 @@ class Trainer:
         params_sh = param_shardings(abstract[0], mesh, shard=True,
                                     min_size=self.fsdp_min_size)
         frozen_sh = param_shardings(abstract[1], mesh, shard=False)
+        # single device: plain executables (identical semantics; some PJRT
+        # runtimes run SPMD-annotated programs far slower)
+        self._plain = mesh.size == 1
         init_fn = jax.jit(
             lambda r: model.init_params(r, image_size=self.image_size),
-            out_shardings=(params_sh, frozen_sh))
+            out_shardings=None if self._plain else (params_sh, frozen_sh))
         params, frozen = init_fn(init_rng)
         self.frozen = frozen
         self.params_shardings = params_sh
@@ -226,12 +229,15 @@ class Trainer:
         opt_abstract = jax.eval_shape(self.tx.init, abstract[0])
         opt_sh = param_shardings(opt_abstract, mesh, shard=True,
                                  min_size=self.fsdp_min_size)
-        opt_state = jax.jit(self.tx.init, out_shardings=opt_sh)(params)
+        opt_state = jax.jit(self.tx.init,
+                            out_shardings=None if self._plain else opt_sh)(params)
         self.opt_shardings = opt_sh
 
         has_ema = self.ema_algorithm is not None
-        ema_params = jax.jit(lambda p: jax.tree.map(jnp.copy, p),
-                             out_shardings=params_sh)(params) if has_ema else None
+        ema_params = jax.jit(
+            lambda p: jax.tree.map(jnp.copy, p),
+            out_shardings=None if self._plain else params_sh)(params) \
+            if has_ema else None
 
         self.train_state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
@@ -267,6 +273,8 @@ class Trainer:
             else:
                 def resh(x):
                     x = x.reshape(n_accum, x.shape[0] // n_accum, *x.shape[1:])
+                    if self._plain:
+                        return x
                     return jax.lax.with_sharding_constraint(
                         x, NamedSharding(mesh, P(None, data_axes)))
                 micro_batches = jax.tree.map(resh, batch)
@@ -483,9 +491,17 @@ class Trainer:
         return path
 
     def _abstract_train_state(self):
+        ts = self.train_state
+        if self._plain:
+            # restore onto the single device with plain placement so resumed
+            # arrays don't drag SPMD shardings into the plain train step
+            dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            return jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=dev),
+                ts)
+
         def absify(x, sh):
             return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
-        ts = self.train_state
         return jax.tree.map(
             absify, ts,
             TrainState(step=replicated(self.mesh), params=self.params_shardings,

@@ -189,6 +189,36 @@ def test_ema_before_start_tracks_params_exactly():
     assert max(jax.tree.leaves(d)) == 0  # smoothing 0 => ema == params
 
 
+def test_single_device_plain_path(tmp_path):
+    """mesh.size == 1 uses plain (non-SPMD) executables end-to-end,
+    including checkpoint save/restore."""
+    from diffusion_tpu.parallel.mesh import create_mesh
+    mesh1 = create_mesh(fsdp=1, data=1, dcn=1, devices=jax.devices()[:1])
+    tr = Trainer(
+        model=tiny_stable_diffusion(),
+        train_dataloader=make_loader(n_batches=2),
+        optimizers=adamw(lr=1e-3),
+        algorithms=[EMA(half_life="2ba")],
+        max_duration="2ba", image_size=SIZE, mesh=mesh1,
+        save_folder=str(tmp_path), save_interval="2ba", eval_interval="0ba",
+    )
+    assert tr._plain
+    tr.fit()
+    assert tr.state.timestamp.batch == 2
+    tr2 = Trainer(
+        model=tiny_stable_diffusion(),
+        train_dataloader=make_loader(n_batches=2),
+        optimizers=adamw(lr=1e-3),
+        algorithms=[EMA(half_life="2ba")],
+        max_duration="3ba", image_size=SIZE, mesh=mesh1,
+        save_folder=str(tmp_path), save_interval="100ba", eval_interval="0ba",
+        autoresume=True,
+    )
+    assert tr2.state.timestamp.batch == 2
+    tr2.fit()
+    assert tr2.state.timestamp.batch == 3
+
+
 def test_multistep_warmup_lr_schedule():
     sched = multi_step_with_warmup("4ba", ["8ba"], gamma=0.1,
                                    max_duration="10ba")
