@@ -19,8 +19,11 @@ SURVEY.md §2.2). Differences are intentional simplifications, documented here:
   sample_in_epoch) like streaming's loader-position checkpointing.
 
 Downloads happen lazily per shard with retry/timeout semantics matching the
-reference's knobs; `predownload` shards are prefetched ahead on a background
-thread.
+reference's knobs. The reference's `predownload` (samples fetched ahead of
+the consumer) is realized by the DataLoader's ordered prefetch window
+(data/dataloader.py: the worker pool stays `prefetch_factor x batch_size`
+samples ahead, which pulls upcoming shards through the object store before
+the consumer reaches them); the knob is accepted for config parity.
 """
 
 from __future__ import annotations

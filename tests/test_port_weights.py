@@ -1,0 +1,137 @@
+"""Weight-porter mechanics: our param tree -> diffusers-style tensors ->
+port_unet/port_vae/port_clip_text -> identical tree (names, transposes).
+
+Proves the HF->Flax mapping is a bijection on the real layout without
+needing downloaded weights (zero-egress)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tools.port_weights import port_clip_text, port_unet, port_vae
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        path = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, path))
+        else:
+            out[path] = np.asarray(v)
+    return out
+
+
+def _unet_to_torch_name(path):
+    """our flat path -> diffusers tensor name + layout tag."""
+    parts = path.split("/")
+    leaf = parts[-1]
+    kind = {"kernel": "weight", "bias": "bias", "scale": "weight"}[leaf]
+
+    def attn_inner(rest):
+        # rest like ['norm','scale'] or ['blocks_0','attn1','to_q','kernel']
+        if rest[0] in ("norm", "proj_in", "proj_out"):
+            return f"{rest[0]}.{kind}"
+        d = rest[0].split("_")[1]
+        inner = rest[1]
+        if inner in ("norm1", "norm2", "norm3"):
+            return f"transformer_blocks.{d}.{inner}.{kind}"
+        if inner in ("attn1", "attn2"):
+            proj = rest[2]
+            proj = "to_out.0" if proj == "to_out" else proj
+            return f"transformer_blocks.{d}.{inner}.{proj}.{kind}"
+        if inner == "ff":
+            sub = {"proj_in": "net.0.proj", "proj_out": "net.2"}[rest[2]]
+            return f"transformer_blocks.{d}.ff.{sub}.{kind}"
+        raise KeyError(path)
+
+    head = parts[0]
+    if head == "conv_in":
+        return f"conv_in.{kind}"
+    if head == "conv_out":
+        return f"conv_out.{kind}"
+    if head == "conv_norm_out":
+        return f"conv_norm_out.{kind}"
+    if head == "time_embedding":
+        return f"time_embedding.{parts[1]}.{kind}"
+    if head.startswith(("down_", "up_")):
+        bits = head.split("_")   # down, i, res/attn/downsample/upsample, j?
+        tower = "down_blocks" if bits[0] == "down" else "up_blocks"
+        i = bits[1]
+        role = bits[2]
+        if role == "res":
+            return f"{tower}.{i}.resnets.{bits[3]}.{parts[1]}.{kind}"
+        if role == "attn":
+            return f"{tower}.{i}.attentions.{bits[3]}." + attn_inner(parts[1:])
+        if role == "downsample":
+            return f"{tower}.{i}.downsamplers.0.conv.{kind}"
+        if role == "upsample":
+            return f"{tower}.{i}.upsamplers.0.conv.{kind}"
+    if head.startswith("mid_res_"):
+        return f"mid_block.resnets.{head[-1]}.{parts[1]}.{kind}"
+    if head == "mid_attn":
+        return "mid_block.attentions.0." + attn_inner(parts[1:])
+    raise KeyError(path)
+
+
+def _to_torch_layout(arr):
+    if arr.ndim == 4:
+        return np.transpose(arr, (3, 2, 0, 1))  # HWIO -> OIHW
+    if arr.ndim == 2:
+        return np.transpose(arr, (1, 0))
+    return arr
+
+
+def test_unet_port_roundtrip():
+    from tests.common import tiny_stable_diffusion
+    model = tiny_stable_diffusion()
+    params = model.unet.init(jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
+                             jnp.zeros((1,), jnp.int32), jnp.zeros((1, 5, 16)))
+    flat = _flatten(params["params"])
+    torch_style = {_unet_to_torch_name(p): _to_torch_layout(a)
+                   for p, a in flat.items()}
+    ported = port_unet(torch_style)
+    flat_back = _flatten(ported["params"])
+    assert set(flat_back) == set(flat)
+    for k in flat:
+        np.testing.assert_array_equal(flat_back[k], flat[k], err_msg=k)
+
+
+def _clip_to_torch_name(path):
+    parts = path.split("/")
+    if parts[0] == "token_embedding":
+        return "text_model.embeddings.token_embedding.weight"
+    if parts[0] == "position_embedding":
+        return "text_model.embeddings.position_embedding.weight"
+    leaf = {"kernel": "weight", "bias": "bias", "scale": "weight"}[parts[-1]]
+    if parts[0] == "final_layer_norm":
+        return f"text_model.final_layer_norm.{leaf}"
+    i = parts[0].split("_")[1]
+    mod = parts[1]
+    if mod in ("layer_norm1", "layer_norm2"):
+        return f"text_model.encoder.layers.{i}.{mod}.{leaf}"
+    if mod in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        return f"text_model.encoder.layers.{i}.self_attn.{mod}.{leaf}"
+    return f"text_model.encoder.layers.{i}.mlp.{mod}.{leaf}"
+
+
+def test_clip_text_port_roundtrip():
+    from tests.common import TINY_TEXT
+    from diffusion_tpu.models.clip import CLIPTextModel
+    m = CLIPTextModel(TINY_TEXT)
+    params = m.init(jax.random.key(0), jnp.zeros((1, 8), jnp.int32))
+    flat = _flatten(params["params"])
+    torch_style = {}
+    for p, a in flat.items():
+        name = _clip_to_torch_name(p)
+        arr = a
+        if p.endswith("kernel"):
+            arr = np.transpose(a, (1, 0))
+        torch_style[name] = arr
+    ported = port_clip_text(torch_style)
+    flat_back = _flatten(ported["params"])
+    assert set(flat_back) == set(flat)
+    for k in flat:
+        np.testing.assert_array_equal(flat_back[k], flat[k], err_msg=k)
