@@ -99,6 +99,49 @@ def test_unet_port_roundtrip():
         np.testing.assert_array_equal(flat_back[k], flat[k], err_msg=k)
 
 
+def _vae_to_torch_name(path):
+    parts = path.split("/")
+    leaf = {"kernel": "weight", "bias": "bias", "scale": "weight"}[parts[-1]]
+    if parts[0] in ("quant_conv", "post_quant_conv"):
+        return f"{parts[0]}.{leaf}"
+    tower = parts[0]  # encoder/decoder
+    head = parts[1]
+    blocks = "down_blocks" if tower == "encoder" else "up_blocks"
+    if head in ("conv_in", "conv_out", "conv_norm_out"):
+        return f"{tower}.{head}.{leaf}"
+    if head.startswith("mid_res_"):
+        return f"{tower}.mid_block.resnets.{head[-1]}.{parts[2]}.{leaf}"
+    if head == "mid_attn":
+        sub = parts[2]
+        sub = "to_out.0" if sub == "to_out" else sub
+        return f"{tower}.mid_block.attentions.0.{sub}.{leaf}"
+    bits = head.split("_")  # down/up, i, res/downsample/upsample, j?
+    i = bits[1]
+    if bits[2] == "res":
+        return f"{tower}.{blocks}.{i}.resnets.{bits[3]}.{parts[2]}.{leaf}"
+    if bits[2] == "downsample":
+        return f"{tower}.{blocks}.{i}.downsamplers.0.conv.{leaf}"
+    if bits[2] == "upsample":
+        return f"{tower}.{blocks}.{i}.upsamplers.0.conv.{leaf}"
+    raise KeyError(path)
+
+
+def test_vae_port_roundtrip():
+    from diffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+    m = AutoencoderKL(VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                                norm_num_groups=4))
+    rng = jax.random.key(0)
+    params = m.init(rng, jnp.zeros((1, 16, 16, 3)), rng)
+    flat = _flatten(params["params"])
+    torch_style = {_vae_to_torch_name(p): _to_torch_layout(a)
+                   for p, a in flat.items()}
+    ported = port_vae(torch_style)
+    flat_back = _flatten(ported["params"])
+    assert set(flat_back) == set(flat)
+    for k in flat:
+        np.testing.assert_array_equal(flat_back[k], flat[k], err_msg=k)
+
+
 def _clip_to_torch_name(path):
     parts = path.split("/")
     if parts[0] == "token_embedding":
