@@ -198,8 +198,10 @@ def instantiate(node: Any, *args: Any, **kwargs: Any) -> Any:
 
     node = dict(node)
     target = _import_target(node.pop("_target_"))
-    partial = bool(node.pop("_partial_", False))
-    recursive = bool(node.pop("_recursive_", True))
+    # control keys may come from the config node or the call site (hydra
+    # parity: instantiate(conf, _recursive_=False), reference train.py:41)
+    partial = bool(kwargs.pop("_partial_", node.pop("_partial_", False)))
+    recursive = bool(kwargs.pop("_recursive_", node.pop("_recursive_", True)))
     cfg_args = node.pop("_args_", [])
 
     if recursive:

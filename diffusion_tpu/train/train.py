@@ -56,7 +56,8 @@ def build_trainer(config: Dict[str, Any]) -> Trainer:
     optimizer = adamw(lr=opt_conf.get("lr", 1e-4),
                       betas=opt_conf.get("betas", (0.9, 0.999)),
                       eps=opt_conf.get("eps", 1e-8),
-                      weight_decay=opt_conf.get("weight_decay", 0.01))
+                      weight_decay=opt_conf.get("weight_decay", 0.01),
+                      mu_dtype=opt_conf.get("mu_dtype"))
 
     # data: builders receive batch sizes divided per host (reference
     # train.py:40 divides by world size; device-level division is the mesh's)
