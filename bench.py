@@ -32,10 +32,11 @@ def main() -> None:
     import os as _os
     res = int(_os.environ.get("BENCH_RES", "256"))   # 256 or 512 (headline pair)
     lat = res // 8
-    # batch 16/chip (the reference's per-GPU microbatch) at 256px; 512px
-    # quadruples activation tokens -> batch 4 fits
+    # batch 24/chip at 256px (measured fastest that fits: 114.7 img/s vs
+    # 100.4 at the reference's 16/chip); 512px quadruples activation tokens
+    # -> batch 4 fits
     per_chip_batch = int(float(_os.environ.get(
-        "BENCH_BATCH_PER_CHIP", "16" if res == 256 else "4")))
+        "BENCH_BATCH_PER_CHIP", "24" if res == 256 else "4")))
     bsz = per_chip_batch * n_dev
 
     # Memory budget on one 16 GB chip: fp32 params 3.5 GB + grads 3.5 GB +
