@@ -88,6 +88,30 @@ class ObjectStore:
 
         return retry(_once, max_tries=self.download_retry + 1)
 
+    def upload(self, local_path: str, uri: str) -> str:
+        """Upload a local file to s3://, gs://, or a local destination path
+        (the reference cloudwriter writes MDS shards straight to remote
+        buckets, reference: scripts/laion_cloudwriter.py:230-235,299-309)."""
+
+        def _once() -> str:
+            if uri.startswith("s3://"):
+                bucket, _, key = uri[5:].partition("/")
+                self._s3_client().upload_file(local_path, bucket, key)
+            elif uri.startswith("gs://"):
+                bucket, _, key = uri[5:].partition("/")
+                (self._gcs_client().bucket(bucket).blob(key)
+                 .upload_from_filename(local_path,
+                                       timeout=self.download_timeout))
+            else:
+                os.makedirs(os.path.dirname(os.path.abspath(uri)),
+                            exist_ok=True)
+                tmp = uri + ".tmp"
+                shutil.copyfile(local_path, tmp)
+                os.replace(tmp, uri)
+            return uri
+
+        return retry(_once, max_tries=self.download_retry + 1)
+
 
 def download_with_retry(uri: str, local_path: str, download_retry: int = 2,
                         download_timeout: float = 120.0) -> str:

@@ -34,7 +34,8 @@ class GenerationMetricsHook:
                  height: int = 256, width: int = 256,
                  num_inference_steps: int = 50,
                  inception_weights: Optional[str] = None,
-                 clip_weights: Optional[str] = None):
+                 clip_weights: Optional[str] = None,
+                 allow_random_weights: bool = False):
         self.model = model
         self.frozen = frozen
         self.guidance_scales = [float(g) for g in guidance_scales]
@@ -48,11 +49,14 @@ class GenerationMetricsHook:
         self.metrics: Dict[float, Dict[str, Any]] = {}
         from diffusion_tpu.metrics import towers
         if "FrechetInceptionDistance" in want:
-            self._feature_fn = towers.inception_feature_fn(inception_weights)
+            self._feature_fn = towers.inception_feature_fn(
+                inception_weights, allow_random_weights=allow_random_weights)
         if "InceptionScore" in want:
-            self._logits_fn = towers.inception_logits_fn(inception_weights)
+            self._logits_fn = towers.inception_logits_fn(
+                inception_weights, allow_random_weights=allow_random_weights)
         if "CLIPScore" in want:
-            self._embed_fn = towers.clip_embed_fn(clip_weights)
+            self._embed_fn = towers.clip_embed_fn(
+                clip_weights, allow_random_weights=allow_random_weights)
         for g in self.guidance_scales:
             copies: Dict[str, Any] = {}
             if self._feature_fn:

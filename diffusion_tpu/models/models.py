@@ -56,6 +56,9 @@ def stable_diffusion_2(
     encode_latents_in_fp16: bool = True,
     fsdp: bool = True,
     remat: bool = False,
+    inception_weights: Optional[str] = None,
+    clip_metric_weights: Optional[str] = None,
+    allow_random_tower_weights: bool = False,
 ) -> StableDiffusion:
     """SD-2.0-base training setup (reference models.py:28-112).
 
@@ -89,6 +92,9 @@ def stable_diffusion_2(
                                                "FrechetInceptionDistance")),
         fsdp=bool(fsdp),
         pretrained_path=model_name if pretrained else None,
+        inception_weights=inception_weights,
+        clip_metric_weights=clip_metric_weights,
+        allow_random_tower_weights=bool(allow_random_tower_weights),
     )
 
 

@@ -66,6 +66,12 @@ class StableDiffusion:
     val_metric_names: Tuple[str, ...] = ("MeanSquaredError",)
     fsdp: bool = True
     pretrained_path: Optional[str] = None
+    # generation-metric tower weights (.npz from tools/port_weights.py;
+    # local path or s3://gs:// URL). Random towers are refused unless
+    # explicitly allowed — see metrics/towers.py.
+    inception_weights: Optional[str] = None
+    clip_metric_weights: Optional[str] = None
+    allow_random_tower_weights: bool = False
 
     # ---------------- init ----------------
     def init_params(self, rng: jax.Array, image_size: int = 256,

@@ -65,6 +65,11 @@ class DDIMScheduler:
         step_ratio = self.num_train_timesteps // num_inference_steps
         ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1]
         ts = ts.astype(np.int64) + self.steps_offset
+        # steps_offset can push the top step to num_train_timesteps (e.g.
+        # num_inference_steps == num_train_timesteps), which would index
+        # alphas_cumprod out of range — jnp clamps silently, so clip here
+        # (diffusers clips the same way).
+        ts = np.minimum(ts, self.num_train_timesteps - 1)
         t_prev = ts - step_ratio
         return ts.astype(np.int32), t_prev.astype(np.int32)
 

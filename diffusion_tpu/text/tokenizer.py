@@ -78,7 +78,7 @@ class CLIPTokenizer:
     <|startoftext|>/<|endoftext|> specials, pad-with-eot to model_max_length."""
 
     def __init__(self, vocab: Dict[str, int], merges: Sequence[Tuple[str, str]],
-                 model_max_length: int = 77):
+                 model_max_length: int = 77, pad_token: Optional[str] = None):
         self.encoder = dict(vocab)
         self.decoder = {v: k for k, v in self.encoder.items()}
         self.bpe_ranks = {tuple(m): i for i, m in enumerate(merges)}
@@ -87,13 +87,20 @@ class CLIPTokenizer:
         self.model_max_length = model_max_length
         self.bos_token_id = self.encoder["<|startoftext|>"]
         self.eos_token_id = self.encoder["<|endoftext|>"]
-        self.pad_token_id = self.eos_token_id
+        # HF parity: pad_token comes from tokenizer_config.json. OpenAI CLIP
+        # has none (pads with EOS); SD2's tokenizer pads with '!' (id 0) —
+        # padded ids and CFG negative prompts must match the checkpoint's.
+        if pad_token is not None and pad_token in self.encoder:
+            self.pad_token_id = self.encoder[pad_token]
+        else:
+            self.pad_token_id = self.eos_token_id
         self._bpe_cache: Dict[str, str] = {}
 
     # ---- constructors -------------------------------------------------
     @classmethod
     def from_pretrained(cls, path: str, model_max_length: int = 77) -> "CLIPTokenizer":
-        """Load from a local HF tokenizer dir (vocab.json + merges.txt)."""
+        """Load from a local HF tokenizer dir (vocab.json + merges.txt +
+        tokenizer_config.json/special_tokens_map.json for pad_token)."""
         if os.path.isdir(os.path.join(path, "tokenizer")):
             path = os.path.join(path, "tokenizer")
         with open(os.path.join(path, "vocab.json")) as f:
@@ -106,7 +113,17 @@ class CLIPTokenizer:
                 a, _, b = line.partition(" ")
                 if b:
                     merges.append((a, b))
-        return cls(vocab, merges, model_max_length)
+        pad_token = None
+        for cfg_name in ("tokenizer_config.json", "special_tokens_map.json"):
+            cfg_path = os.path.join(path, cfg_name)
+            if pad_token is None and os.path.exists(cfg_path):
+                with open(cfg_path) as f:
+                    cfg = json.load(f)
+                tok = cfg.get("pad_token")
+                if isinstance(tok, dict):
+                    tok = tok.get("content")
+                pad_token = tok
+        return cls(vocab, merges, model_max_length, pad_token=pad_token)
 
     # ---- BPE ----------------------------------------------------------
     def _bpe(self, token: str) -> str:

@@ -39,20 +39,37 @@ def save_checkpoint(save_folder: str, batch: int, train_state: Any,
                     meta: Optional[Dict[str, Any]] = None,
                     overwrite: bool = True) -> str:
     """Write <folder>/ba<batch>/{state, meta.json}. Multi-host safe: orbax
-    coordinates the array shards; only process 0 writes meta.json."""
+    coordinates the array shards; only process 0 writes meta.json.
+
+    Crash-safe overwrite ordering: the completeness marker (meta.json) is
+    deleted FIRST, so a crash anywhere during the rewrite leaves a directory
+    that `latest_checkpoint_path` skips, never a marker pointing at partial
+    state (Composer's atomic-checkpoint semantics). All hosts barrier after
+    the cleanup so no one starts orbax's coordinated save against a
+    directory another host is still deleting. meta.json itself is written
+    via tmp+rename (atomic on POSIX)."""
+    from diffusion_tpu.parallel import dist
+
     path = os.path.join(save_folder, f"ba{batch}")
     state_path = os.path.join(path, "state")
-    if os.path.exists(state_path):
+    meta_path = os.path.join(path, _COMPLETE)
+    if os.path.exists(state_path) or os.path.exists(meta_path):
         if not overwrite:
-            raise FileExistsError(f"{state_path} exists and save_overwrite=False")
+            raise FileExistsError(f"{path} exists and save_overwrite=False")
         if jax.process_index() == 0:
-            shutil.rmtree(state_path)
+            if os.path.exists(meta_path):
+                os.remove(meta_path)
+            if os.path.exists(state_path):
+                shutil.rmtree(state_path)
+        dist.barrier("ckpt_cleanup")
     ckptr = _checkpointer()
     ckptr.save(os.path.abspath(state_path), train_state)
     ckptr.wait_until_finished()
     if jax.process_index() == 0:
-        with open(os.path.join(path, _COMPLETE), "w") as f:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(meta or {}, f)
+        os.replace(tmp, meta_path)
     return path
 
 

@@ -73,10 +73,24 @@ def multi_step_with_warmup(t_warmup: Union[str, int],
                            scale_schedule_ratio: float = 1.0) -> Schedule:
     """Linear warmup then x gamma at each milestone (Composer
     MultiStepWithWarmupScheduler parity, reference yaml :59-64). Milestones
-    scale by scale_schedule_ratio; warmup does not (Composer semantics)."""
+    scale by scale_schedule_ratio; warmup does not (Composer semantics).
+
+    Epoch-denominated milestones with no known batches_per_epoch (streaming
+    pipes without a length) are unreachable within the run and are skipped
+    rather than raising — the reference configs set milestones: [200ep] on a
+    550000ba run precisely as a "never decay" sentinel."""
     warmup = _resolve(t_warmup, max_duration, batches_per_epoch)
-    steps = sorted(_resolve(m, max_duration, batches_per_epoch,
-                            scale_schedule_ratio) for m in milestones)
+    steps = []
+    for m in milestones:
+        try:
+            steps.append(_resolve(m, max_duration, batches_per_epoch,
+                                  scale_schedule_ratio))
+        except ValueError:
+            import logging
+            logging.getLogger(__name__).warning(
+                "scheduler milestone %r is epoch-denominated but "
+                "batches_per_epoch is unknown; treating as unreachable", m)
+    steps = sorted(steps)
 
     def schedule(step):
         import jax.numpy as jnp

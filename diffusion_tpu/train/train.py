@@ -98,7 +98,17 @@ def build_trainer(config: Dict[str, Any]) -> Trainer:
     scale_schedule_ratio = float(config.get(
         "scale_schedule_ratio", trainer_conf.pop("scale_schedule_ratio", 1.0)))
 
-    # LR schedule factory needs max_duration context
+    # LR schedule factory needs max_duration context; epoch-denominated
+    # times ('200ep') resolve against the dataloader length, as Composer
+    # resolves them from len(train_dataloader) (reference train.py:116 +
+    # composer Time semantics). Iterable pipes without a length leave
+    # batches_per_epoch=0 and epoch milestones become unreachable (skipped).
+    batches_per_epoch = 0
+    if train_dataloader is not None:
+        try:
+            batches_per_epoch = int(len(train_dataloader))
+        except TypeError:
+            batches_per_epoch = 0
     sched_conf = dict(config.get("scheduler") or {})
     if sched_conf:
         sched_conf.pop("_target_", None)
@@ -107,6 +117,7 @@ def build_trainer(config: Dict[str, Any]) -> Trainer:
         factory = getattr(optim_mod, name) if name else \
             optim_mod.multi_step_with_warmup if "milestones" in sched_conf else \
             optim_mod.constant_with_warmup
+        sched_conf.setdefault("batches_per_epoch", batches_per_epoch)
         schedule = factory(max_duration=max_duration,
                            scale_schedule_ratio=scale_schedule_ratio,
                            **sched_conf)
@@ -133,8 +144,11 @@ def train(config: Dict[str, Any]) -> Trainer:
     """Full composition + eval-first + fit (reference train.py:130-138)."""
     dist.initialize()
     trainer = build_trainer(config)
-    if config.get("eval_first") and trainer.evaluators:
-        trainer.eval(subset_num_batches=select(
-            config, "trainer.eval_subset_num_batches", -1))
-    trainer.fit()
+    try:
+        if config.get("eval_first") and trainer.evaluators:
+            trainer.eval(subset_num_batches=select(
+                config, "trainer.eval_subset_num_batches", -1))
+        trainer.fit()
+    finally:
+        trainer.close()
     return trainer

@@ -182,7 +182,11 @@ class Trainer:
             self.metric_hooks.append(GenerationMetricsHook(
                 model, self.frozen, self.eval_guidance_scales, gen_names,
                 height=image_size, width=image_size,
-                num_inference_steps=eval_num_inference_steps))
+                num_inference_steps=eval_num_inference_steps,
+                inception_weights=getattr(model, "inception_weights", None),
+                clip_weights=getattr(model, "clip_metric_weights", None),
+                allow_random_weights=getattr(
+                    model, "allow_random_tower_weights", False)))
 
         # ---- host state for events
         self.state = State(
@@ -379,6 +383,7 @@ class Trainer:
         if self.save_folder:
             self.save_checkpoint()
         self.engine.run(Event.FIT_END, state, logger)
+        logger.flush()  # metrics tail must be durable when fit returns
 
     # ------------------------------------------------------------------
     def _make_eval_step(self) -> Callable:

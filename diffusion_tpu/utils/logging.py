@@ -32,6 +32,9 @@ class Logger:
                    step: Optional[int] = None, **kwargs) -> None:
         pass
 
+    def flush(self) -> None:
+        pass
+
     def close(self) -> None:
         pass
 
@@ -78,8 +81,12 @@ class FileLogger(Logger):
                                               for k, v in params.items()}}) + "\n")
         self._f.flush()
 
+    def flush(self):
+        self._f.flush()
+
     def close(self):
-        self._f.close()
+        if not self._f.closed:
+            self._f.close()
 
 
 class WandBLogger(Logger):
@@ -136,6 +143,10 @@ class LoggerCollection(Logger):
     def log_images(self, images, name="image", step=None, **kwargs):
         for lg in self.loggers:
             lg.log_images(images, name=name, step=step, **kwargs)
+
+    def flush(self):
+        for lg in self.loggers:
+            lg.flush()
 
     def close(self):
         for lg in self.loggers:

@@ -34,6 +34,7 @@ def tiny_stable_diffusion(precomputed_latents=False, val_guidance_scales=(),
         prediction_type=prediction_type,
         precomputed_latents=precomputed_latents,
         val_guidance_scales=tuple(val_guidance_scales),
+        allow_random_tower_weights=True,  # tests exercise shapes, not values
     )
 
 

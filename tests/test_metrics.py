@@ -84,3 +84,18 @@ def test_clip_score_cosine():
     txt = np.array([[1.0, 0.0], [0.0, 1.0]])  # cos 1 and cos 0
     m.update(img, txt)
     assert abs(m.compute() - 50.0) < 1e-6
+
+
+def test_towers_refuse_random_weights(monkeypatch):
+    """FID/IS/CLIPScore towers must raise without pretrained weights rather
+    than silently computing on random inits (VERDICT r1 #2)."""
+    from diffusion_tpu.metrics import towers
+    monkeypatch.delenv("DIFFUSION_TPU_INCEPTION_WEIGHTS", raising=False)
+    monkeypatch.delenv("DIFFUSION_TPU_CLIP_WEIGHTS", raising=False)
+    monkeypatch.delenv("DIFFUSION_TPU_ALLOW_RANDOM_TOWERS", raising=False)
+    with pytest.raises(RuntimeError, match="port_weights"):
+        towers.inception_feature_fn()
+    with pytest.raises(RuntimeError, match="port_weights"):
+        towers.inception_logits_fn()
+    with pytest.raises(RuntimeError, match="port_weights"):
+        towers.clip_embed_fn()

@@ -177,3 +177,13 @@ def test_continuous_step_requires_noise_for_sde():
     x = jnp.ones((1, 2, 2, 2))
     with pytest.raises(ValueError):
         sched.step(x, jnp.asarray(1.0), jnp.asarray(0.9), x, noise=None)
+
+
+def test_ddim_timesteps_clamped_to_train_range():
+    """steps_offset can push the top step to num_train_timesteps; it must be
+    clipped (diffusers behavior) instead of silently clamping the alpha index
+    inside jit (ADVICE r1)."""
+    sched = DDIMScheduler(num_train_timesteps=10, steps_offset=1)
+    ts, _ = sched.timesteps(10)
+    assert ts.max() == 9
+    assert ts.min() >= 0

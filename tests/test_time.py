@@ -37,3 +37,22 @@ def test_time_to_batches():
     assert time_to_batches("2ep", "550000ba", batches_per_epoch=100) == 200
     with pytest.raises(ValueError):
         time_to_batches("2ep", "550000ba")
+
+
+def test_epoch_milestones_without_length_are_skipped():
+    """ADVICE r1 high: shipped yamls set milestones ['200ep']; with an unknown
+    batches_per_epoch the milestone must be treated as unreachable, not raise."""
+    from diffusion_tpu.train.optim import multi_step_with_warmup
+
+    sched = multi_step_with_warmup("2ba", ["200ep"], gamma=0.1,
+                                   max_duration="100ba", batches_per_epoch=0)
+    assert float(sched(50)) == 1.0  # warmup done, no decay ever
+
+
+def test_epoch_milestones_resolve_with_length():
+    from diffusion_tpu.train.optim import multi_step_with_warmup
+
+    sched = multi_step_with_warmup("0ba", ["2ep"], gamma=0.1,
+                                   max_duration="100ba", batches_per_epoch=5)
+    assert float(sched(9)) == 1.0
+    assert abs(float(sched(10)) - 0.1) < 1e-6

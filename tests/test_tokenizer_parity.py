@@ -83,3 +83,39 @@ def test_decode_roundtrip(both):
     ours, _ = both
     ids = ours("the cat and the dog")["input_ids"][0]
     assert ours.decode(ids) == "the cat and the dog"
+
+
+def test_sd2_pad_token_config(vocab_dir, tmp_path):
+    """SD2's tokenizer_config.json sets pad_token '!' (id 0); padded ids must
+    match HF with that config (ADVICE r1: CFG negative-prompt/padding parity)."""
+    import shutil
+
+    from transformers import CLIPTokenizer as HFCLIPTokenizer
+
+    sd2_dir = tmp_path / "sd2_tok"
+    shutil.copytree(vocab_dir, sd2_dir)
+    with open(sd2_dir / "tokenizer_config.json", "w") as f:
+        json.dump({"pad_token": "!", "model_max_length": 77}, f)
+
+    ours = CLIPTokenizer.from_pretrained(str(sd2_dir))
+    theirs = HFCLIPTokenizer(os.path.join(sd2_dir, "vocab.json"),
+                             os.path.join(sd2_dir, "merges.txt"),
+                             model_max_length=77, pad_token="!")
+    assert ours.pad_token_id == theirs.pad_token_id == ours.encoder["!"]
+    for text in ("the cat", ""):
+        got = ours(text, padding="max_length", truncation=True)["input_ids"][0]
+        want = theirs(text, padding="max_length", truncation=True,
+                      return_tensors="np")["input_ids"][0]
+        np.testing.assert_array_equal(got, want.astype(np.int32))
+
+
+def test_pad_token_dict_form(vocab_dir, tmp_path):
+    """special_tokens_map.json AddedToken dict form also resolves."""
+    import shutil
+
+    sd2_dir = tmp_path / "tok2"
+    shutil.copytree(vocab_dir, sd2_dir)
+    with open(sd2_dir / "special_tokens_map.json", "w") as f:
+        json.dump({"pad_token": {"content": "!"}}, f)
+    ours = CLIPTokenizer.from_pretrained(str(sd2_dir))
+    assert ours.pad_token_id == ours.encoder["!"]

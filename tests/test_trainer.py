@@ -226,3 +226,29 @@ def test_multistep_warmup_lr_schedule():
     assert abs(float(sched(2)) - 0.5) < 1e-6
     assert float(sched(4)) == 1.0
     assert abs(float(sched(9)) - 0.1) < 1e-6
+
+
+def test_interrupted_overwrite_not_autoresumed(tmp_path, monkeypatch):
+    """Crash mid-overwrite must not leave a complete-looking checkpoint:
+    meta.json (the completeness marker) is deleted before the old state is,
+    so autoresume skips the half-written dir (VERDICT r1 #7)."""
+    import shutil
+
+    from diffusion_tpu.train import checkpoint as ckpt
+
+    state = {"w": np.zeros((2,), np.float32)}
+    folder = str(tmp_path / "ckpts")
+    path = ckpt.save_checkpoint(folder, 5, state)
+    assert ckpt.latest_checkpoint_path(folder) == path
+
+    real_rmtree = shutil.rmtree
+
+    def exploding_rmtree(p, *a, **k):
+        real_rmtree(p, *a, **k)
+        raise RuntimeError("simulated crash after state cleanup")
+
+    monkeypatch.setattr(ckpt.shutil, "rmtree", exploding_rmtree)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ckpt.save_checkpoint(folder, 5, state)
+    # marker gone first => discovery skips the partial dir
+    assert ckpt.latest_checkpoint_path(folder) is None
