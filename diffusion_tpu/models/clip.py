@@ -65,7 +65,10 @@ VIT_L14_VISION_CONFIG = CLIPVisionConfig()
 
 def _act(name: str):
     if name == "gelu":
-        return nn.gelu
+        # exact erf GELU: transformers ACT2FN['gelu'] is torch.nn.GELU()
+        # (erf form); flax nn.gelu defaults to the tanh approximation,
+        # which diverges ~1e-3 and breaks parity with ported weights.
+        return lambda x: nn.gelu(x, approximate=False)
     if name == "quick_gelu":
         return lambda x: x * nn.sigmoid(1.702 * x)
     raise ValueError(f"unknown activation {name!r}")

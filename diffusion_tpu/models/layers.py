@@ -178,7 +178,7 @@ class FeedForwardGEGLU(nn.Module):
         inner = self.dim * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
         a, b = jnp.split(h, 2, axis=-1)
-        h = a * nn.gelu(b)
+        h = a * nn.gelu(b, approximate=False)  # diffusers GEGLU uses erf GELU
         return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
 
 

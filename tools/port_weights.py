@@ -249,6 +249,42 @@ def port_clip_text(t: Dict[str, np.ndarray]) -> Dict:
     return {"params": out}
 
 
+def _clip_encoder_layers(out: Dict, t: Dict[str, np.ndarray], p: str) -> None:
+    """Shared text/vision transformer stack mapping."""
+    i = 0
+    while f"{p}encoder.layers.{i}.layer_norm1.weight" in t:
+        sp = f"{p}encoder.layers.{i}"
+        dp = f"layers_{i}"
+        for ln in ("layer_norm1", "layer_norm2"):
+            _set(out, f"{dp}/{ln}/scale", t[f"{sp}.{ln}.weight"])
+            _set(out, f"{dp}/{ln}/bias", t[f"{sp}.{ln}.bias"])
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _set(out, f"{dp}/{proj}/kernel", _lin(t[f"{sp}.self_attn.{proj}.weight"]))
+            _set(out, f"{dp}/{proj}/bias", t[f"{sp}.self_attn.{proj}.bias"])
+        for fc in ("fc1", "fc2"):
+            _set(out, f"{dp}/{fc}/kernel", _lin(t[f"{sp}.mlp.{fc}.weight"]))
+            _set(out, f"{dp}/{fc}/bias", t[f"{sp}.mlp.{fc}.bias"])
+        i += 1
+
+
+def port_clip_vision(t: Dict[str, np.ndarray]) -> Dict:
+    """transformers CLIPVisionModel names -> models/clip.py CLIPVisionModel.
+    (The 'pre_layrnorm' typo is transformers' own key.)"""
+    out: Dict = {}
+    p = "vision_model."
+    _set(out, "class_embedding", t[p + "embeddings.class_embedding"])
+    _set(out, "patch_embedding/kernel",
+         _conv(t[p + "embeddings.patch_embedding.weight"]))
+    _set(out, "position_embedding",
+         t[p + "embeddings.position_embedding.weight"])
+    for ln_src, ln_dst in (("pre_layrnorm", "pre_layrnorm"),
+                           ("post_layernorm", "post_layernorm")):
+        _set(out, f"{ln_dst}/scale", t[f"{p}{ln_src}.weight"])
+        _set(out, f"{ln_dst}/bias", t[f"{p}{ln_src}.bias"])
+    _clip_encoder_layers(out, t, p)
+    return {"params": out}
+
+
 def main() -> None:
     import flax.serialization
 
