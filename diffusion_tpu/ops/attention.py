@@ -64,5 +64,9 @@ def _flash_eligible(q: jnp.ndarray, k: jnp.ndarray, mask) -> bool:
     if jax.default_backend() not in ("tpu",):
         return False
     # flash pays off once KV no longer fits comfortably alongside the
-    # (S_q x S_kv) score matrix; short cross-attention stays on XLA
-    return q.shape[1] >= 1024 and k.shape[1] >= 256 and q.shape[-1] % 64 == 0
+    # (S_q x S_kv) score matrix; short cross-attention stays on XLA. Ragged
+    # lengths (not a 128 multiple) use XLA too — the kernel tiles at 128
+    # (flash_attention also guards this internally).
+    return (q.shape[1] >= 1024 and k.shape[1] >= 256
+            and q.shape[-1] % 64 == 0
+            and q.shape[1] % 128 == 0 and k.shape[1] % 128 == 0)

@@ -8,15 +8,19 @@ matrix lives only in VMEM; HBM traffic is O(S*D) per head.
 Layout: the public API takes (B, S, H, D); internally heads fold into batch
 -> (B*H, S, D) so every BlockSpec tile is (sublane, lane) = (seq, head_dim),
 which satisfies the TPU (8, 128) tiling rules (head_dim 64 = full array dim).
-The kernel grid is (B*H, num_q_blocks); each program streams one q block
-against the full K/V for its head — K/V for a 4096-token 64-dim head is
-512 KB in bf16, comfortably VMEM-resident, so the inner loop is one big MXU
-matmul + VPU softmax instead of a KV-block loop. Backward recomputes
-probabilities from the saved logsumexp (no S^2 residuals), with separate
-kernels for dQ (q-block parallel) and dK/dV (kv-block parallel).
+
+True blockwise streaming: the grid is (B*H, q_blocks, kv_blocks) with the KV
+axis minormost, and the forward keeps a running online-softmax state
+(max, normalizer, unnormalized output) in VMEM scratch across KV iterations —
+K/V tiles stream from HBM one block at a time, so sequence length is bounded
+by HBM, not VMEM (16k+ tokens). The backward recomputes probabilities from
+the saved logsumexp (no S^2 residuals): dQ streams KV blocks accumulating in
+scratch; dK/dV streams Q blocks the same way.
 
 Non-causal only: diffusion UNet self/cross attention has no mask; the
-77-token text encoder stays on XLA attention (ops/attention.py).
+77-token text encoder stays on XLA attention (ops/attention.py). Sequences
+that do not tile to 128 fall back to XLA attention inside `flash_attention`
+itself (ragged-length guard).
 """
 
 from __future__ import annotations
@@ -33,69 +37,118 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["flash_attention"]
 
 _INTERPRET = os.environ.get("DIFFUSION_TPU_PALLAS_INTERPRET", "0") == "1"
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def _block_q(s: int) -> int:
-    for bq in (512, 256, 128):
-        if s % bq == 0:
-            return bq
-    return s
+def _block(s: int, cap: int = 512) -> int:
+    """Largest 128-multiple block <= cap that divides s (0 if s is ragged)."""
+    for b in (1024, 512, 256, 128):
+        if b <= cap and s % b == 0:
+            return b
+    return 0
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float):
-    q = q_ref[0]                                       # (BQ, D)
-    k = k_ref[0]                                       # (S, D)
+def _block_kv(s: int) -> int:
+    # KV tiles can run bigger than Q tiles: k/v blocks are (bk, 64) bf16 and
+    # a 1024-row tile keeps the whole 256px self-attention KV in one grid
+    # step (zero online-softmax rescale traffic) while 512px+ still streams
+    return _block(s, cap=1024)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref,
+                o_acc, m_acc, l_acc, *, scale: float, kv_steps: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_acc[...] = jnp.full_like(m_acc, _NEG_INF)
+        l_acc[...] = jnp.zeros_like(l_acc)
+        o_acc[...] = jnp.zeros_like(o_acc)
+
+    q = q_ref[0]                                        # (BQ, D)
+    k = k_ref[0]                                        # (BK, D)
     v = v_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    o_ref[0] = (o / l).astype(o_ref.dtype)
-    l_ref[0, 0, :] = (m[:, 0] + jnp.log(l[:, 0]))
+    m_prev = m_acc[:, :1]                               # (BQ, 1)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                              # (BQ, BK)
+    l_new = l_acc[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o_acc[...] = o_acc[...] * alpha + pv
+    m_acc[...] = jnp.broadcast_to(m_new, m_acc.shape)
+    l_acc[...] = jnp.broadcast_to(l_new, l_acc.shape)
+
+    @pl.when(ki == kv_steps - 1)
+    def _finish():
+        o_ref[0] = (o_acc[...] / l_acc[:, :1]).astype(o_ref.dtype)
+        l_ref[0, 0, :] = m_acc[:, 0] + jnp.log(l_acc[:, 0])
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   *, scale: float):
-    q = q_ref[0]
-    k = k_ref[0]
+                   dq_acc, *, scale: float, kv_steps: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]                                        # (BQ, D)
+    k = k_ref[0]                                        # (BK, D)
     v = v_ref[0]
     do = do_ref[0]
     lse = lse_ref[0, 0, :][:, None]                     # (BQ, 1)
     delta = delta_ref[0, 0, :][:, None]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    p = jnp.exp(s - lse)                                # (BQ, S)
+    p = jnp.exp(s - lse)                                # (BQ, BK)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - delta)
-    dq = jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dq_acc[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(ki == kv_steps - 1)
+    def _finish():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, scale: float):
-    q = q_ref[0]                                        # (S, D) full
+                    dk_ref, dv_ref, dk_acc, dv_acc,
+                    *, scale: float, q_steps: int):
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]                                        # (BQ, D) block
     k = k_ref[0]                                        # (BK, D) block
     v = v_ref[0]
-    do = do_ref[0]                                      # (S, D)
-    lse = lse_ref[0, 0, :][None, :]                     # (1, S)
+    do = do_ref[0]                                      # (BQ, D)
+    lse = lse_ref[0, 0, :][None, :]                     # (1, BQ)
     delta = delta_ref[0, 0, :][None, :]
     st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
-    pt = jnp.exp(st - lse)                              # (BK, S)
-    dv = jax.lax.dot_general(pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    pt = jnp.exp(st - lse)                              # (BK, BQ)
+    dv_acc[...] += jax.lax.dot_general(
+        pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dpt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (BK, S)
+                              preferred_element_type=jnp.float32)  # (BK, BQ)
     dst = pt * (dpt - delta)
-    dk = jax.lax.dot_general(dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dk_acc[...] += jax.lax.dot_general(
+        dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(qi == q_steps - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _fold(x: jnp.ndarray) -> jnp.ndarray:
@@ -113,27 +166,33 @@ def _fwd(qf, kf, vf) -> Tuple[jnp.ndarray, jnp.ndarray]:
     bh, sq, d = qf.shape
     skv = kf.shape[1]
     scale = d ** -0.5
-    bq = _block_q(sq)
+    bq, bk = _block(sq), _block_kv(skv)
+    kv_steps = skv // bk
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
-        grid=(bh, sq // bq),
+        functools.partial(_fwd_kernel, scale=scale, kv_steps=kv_steps),
+        grid=(bh, sq // bq, kv_steps),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda bi, qi: (bi, qi, 0),
+            pl.BlockSpec((1, bq, d), lambda bi, qi, ki: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv, d), lambda bi, qi: (bi, 0, 0),
+            pl.BlockSpec((1, bk, d), lambda bi, qi, ki: (bi, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv, d), lambda bi, qi: (bi, 0, 0),
+            pl.BlockSpec((1, bk, d), lambda bi, qi, ki: (bi, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, d), lambda bi, qi: (bi, qi, 0),
+            pl.BlockSpec((1, bq, d), lambda bi, qi, ki: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq), lambda bi, qi: (bi, 0, qi),
+            pl.BlockSpec((1, 1, bq), lambda bi, qi, ki: (bi, 0, qi),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, sq, d), qf.dtype),
             jax.ShapeDtypeStruct((bh, 1, sq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),      # o_acc
+            pltpu.VMEM((bq, 128), jnp.float32),    # running max
+            pltpu.VMEM((bq, 128), jnp.float32),    # running normalizer
         ],
         interpret=_INTERPRET,
     )(qf, kf, vf)
@@ -144,76 +203,97 @@ def _bwd(qf, kf, vf, out, lse, do):
     bh, sq, d = qf.shape
     skv = kf.shape[1]
     scale = d ** -0.5
-    bq = _block_q(sq)
-    bk = _block_q(skv)
+    bq, bk = _block(sq), _block_kv(skv)
     # delta_i = rowsum(dO_i * O_i); cheap XLA reduction, shape (BH, 1, Sq)
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)[:, None, :]
 
+    kv_steps = skv // bk
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale),
-        grid=(bh, sq // bq),
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_steps=kv_steps),
+        grid=(bh, sq // bq, kv_steps),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda bi, qi: (bi, qi, 0),
+            pl.BlockSpec((1, bq, d), lambda bi, qi, ki: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv, d), lambda bi, qi: (bi, 0, 0),
+            pl.BlockSpec((1, bk, d), lambda bi, qi, ki: (bi, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv, d), lambda bi, qi: (bi, 0, 0),
+            pl.BlockSpec((1, bk, d), lambda bi, qi, ki: (bi, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, d), lambda bi, qi: (bi, qi, 0),
+            pl.BlockSpec((1, bq, d), lambda bi, qi, ki: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq), lambda bi, qi: (bi, 0, qi),
+            pl.BlockSpec((1, 1, bq), lambda bi, qi, ki: (bi, 0, qi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq), lambda bi, qi: (bi, 0, qi),
+            pl.BlockSpec((1, 1, bq), lambda bi, qi, ki: (bi, 0, qi),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda bi, qi: (bi, qi, 0),
+        out_specs=pl.BlockSpec((1, bq, d), lambda bi, qi, ki: (bi, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), qf.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         interpret=_INTERPRET,
     )(qf, kf, vf, do, lse, delta)
 
+    q_steps = sq // bq
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale),
-        grid=(bh, skv // bk),
+        functools.partial(_bwd_dkv_kernel, scale=scale, q_steps=q_steps),
+        grid=(bh, skv // bk, q_steps),
         in_specs=[
-            pl.BlockSpec((1, sq, d), lambda bi, ki: (bi, 0, 0),
+            pl.BlockSpec((1, bq, d), lambda bi, ki, qi: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bi, ki: (bi, ki, 0),
+            pl.BlockSpec((1, bk, d), lambda bi, ki, qi: (bi, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bi, ki: (bi, ki, 0),
+            pl.BlockSpec((1, bk, d), lambda bi, ki, qi: (bi, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sq, d), lambda bi, ki: (bi, 0, 0),
+            pl.BlockSpec((1, bq, d), lambda bi, ki, qi: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sq), lambda bi, ki: (bi, 0, 0),
+            pl.BlockSpec((1, 1, bq), lambda bi, ki, qi: (bi, 0, qi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sq), lambda bi, ki: (bi, 0, 0),
+            pl.BlockSpec((1, 1, bq), lambda bi, ki, qi: (bi, 0, qi),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bk, d), lambda bi, ki: (bi, ki, 0),
+            pl.BlockSpec((1, bk, d), lambda bi, ki, qi: (bi, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bi, ki: (bi, ki, 0),
+            pl.BlockSpec((1, bk, d), lambda bi, ki, qi: (bi, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, skv, d), kf.dtype),
             jax.ShapeDtypeStruct((bh, skv, d), vf.dtype),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),      # dk_acc
+            pltpu.VMEM((bk, d), jnp.float32),      # dv_acc
+        ],
         interpret=_INTERPRET,
     )(qf, kf, vf, do, lse, delta)
     return dq, dk, dv
 
 
+def _tiles_ok(q: jnp.ndarray, k: jnp.ndarray) -> bool:
+    return _block(q.shape[1]) > 0 and _block_kv(k.shape[1]) > 0
+
+
 @jax.custom_vjp
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Blockwise softmax(q k^T / sqrt(d)) v over (B, S, H, D) tensors."""
+    """Blockwise softmax(q k^T / sqrt(d)) v over (B, S, H, D) tensors.
+
+    Ragged (non-128-multiple) sequence lengths fall back to XLA attention —
+    same math, no kernel."""
     b, _, h, _ = q.shape
+    if not _tiles_ok(q, k):
+        from diffusion_tpu.ops.attention import _xla_attention
+        return _xla_attention(q, k, v, None)
     out, _ = _fwd(_fold(q), _fold(k), _fold(v))
     return _unfold(out, b, h)
 
 
 def _flash_fwd_rule(q, k, v):
+    if not _tiles_ok(q, k):
+        from diffusion_tpu.ops.attention import _xla_attention
+        out, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, None),
+                           q, k, v)
+        return out, (None, vjp)
     b, _, h, _ = q.shape
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     out, lse = _fwd(qf, kf, vf)
@@ -221,6 +301,8 @@ def _flash_fwd_rule(q, k, v):
 
 
 def _flash_bwd_rule(res, g):
+    if len(res) == 2 and res[0] is None:
+        return res[1](g)
     qf, kf, vf, out, lse, b, h = res
     dq, dk, dv = _bwd(qf, kf, vf, out, lse, _fold(g))
     return _unfold(dq, b, h), _unfold(dk, b, h), _unfold(dv, b, h)

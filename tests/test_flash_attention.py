@@ -56,3 +56,58 @@ def test_bf16_forward():
     want = _xla_attention(q.astype(jnp.float32), k.astype(jnp.float32),
                           v.astype(jnp.float32), None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("sq,skv", [(384, 384), (256, 512)])
+def test_multi_kv_block_forward_backward(sq, skv):
+    """Online-softmax accumulation across multiple KV blocks (the kernel
+    streams KV; these shapes force >1 kv grid step)."""
+    k0, k1, k2 = jax.random.split(jax.random.key(3), 3)
+    q = _rand(k0, (1, sq, 2, 64))
+    k = _rand(k1, (1, skv, 2, 64))
+    v = _rand(k2, (1, skv, 2, 64))
+    got = flash_attention(q, k, v)
+    want = _xla_attention(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+    g_flash = jax.grad(lambda *a: jnp.sum(flash_attention(*a) ** 2),
+                       argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(lambda *a: jnp.sum(_xla_attention(*a, None) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_xla, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-5, err_msg=f"d{name}")
+
+
+@pytest.mark.slow
+def test_16k_kv_streaming():
+    """16k-token KV streams through VMEM one block at a time (128 kv grid
+    steps) — the length a monolithic-KV kernel could not hold."""
+    k0, k1, k2 = jax.random.split(jax.random.key(4), 3)
+    q = _rand(k0, (1, 128, 1, 64))
+    k = _rand(k1, (1, 16384, 1, 64))
+    v = _rand(k2, (1, 16384, 1, 64))
+    got = flash_attention(q, k, v)
+    want = _xla_attention(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_ragged_length_falls_back_to_xla():
+    """Non-128-multiple sequences route to XLA attention inside
+    flash_attention (value + grads still correct)."""
+    k0, k1, k2 = jax.random.split(jax.random.key(5), 3)
+    q = _rand(k0, (1, 200, 2, 64))
+    k = _rand(k1, (1, 77, 2, 64))
+    v = _rand(k2, (1, 77, 2, 64))
+    got = flash_attention(q, k, v)
+    want = _xla_attention(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    g = jax.grad(lambda *a: jnp.sum(flash_attention(*a) ** 2),
+                 argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda *a: jnp.sum(_xla_attention(*a, None) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
