@@ -55,12 +55,16 @@ class GroupNorm(nn.Module):
         orig_dtype = x.dtype
         x = x.astype(jnp.float32)
         g = self.num_groups
-        spatial = x.shape[1:-1]
-        xg = x.reshape(x.shape[0], -1, g, c // g)
-        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-        var = jnp.var(xg, axis=(1, 3), keepdims=True)
+        # split ONLY the channel (minormost) dim: batch/spatial dims keep
+        # their shapes, so pjit shardings propagate through the reshape
+        # (flattening spatial forced SPMD into full rematerialization on
+        # multi-axis meshes)
+        xg = x.reshape(*x.shape[:-1], g, c // g)
+        reduce_axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        mean = jnp.mean(xg, axis=reduce_axes, keepdims=True)
+        var = jnp.var(xg, axis=reduce_axes, keepdims=True)
         xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        x = xg.reshape(x.shape[0], *spatial, c)
+        x = xg.reshape(*x.shape[:-1], c)
         x = x * scale + bias
         return x.astype(orig_dtype)
 

@@ -59,6 +59,7 @@ def stable_diffusion_2(
     inception_weights: Optional[str] = None,
     clip_metric_weights: Optional[str] = None,
     allow_random_tower_weights: bool = False,
+    init_frozen_towers: Optional[bool] = None,
 ) -> StableDiffusion:
     """SD-2.0-base training setup (reference models.py:28-112).
 
@@ -95,6 +96,7 @@ def stable_diffusion_2(
         inception_weights=inception_weights,
         clip_metric_weights=clip_metric_weights,
         allow_random_tower_weights=bool(allow_random_tower_weights),
+        init_frozen_towers=init_frozen_towers,
     )
 
 

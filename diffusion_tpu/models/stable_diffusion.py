@@ -72,6 +72,12 @@ class StableDiffusion:
     inception_weights: Optional[str] = None
     clip_metric_weights: Optional[str] = None
     allow_random_tower_weights: bool = False
+    # Skip materializing the frozen VAE/CLIP towers entirely. The reference
+    # always moves them to the device (models.py:80-85, fp16); on the
+    # precomputed-latent training path they are never applied, and ~1.7 GB
+    # of HBM matters on a 16 GB chip. None -> auto: skip iff
+    # precomputed_latents and no generation eval (val_guidance_scales=()).
+    init_frozen_towers: Optional[bool] = None
 
     # ---------------- init ----------------
     def init_params(self, rng: jax.Array, image_size: int = 256,
@@ -87,6 +93,12 @@ class StableDiffusion:
         unet_params = self.unet.init(
             r_unet, jnp.zeros((1, latent, latent, self.unet.config.in_channels)),
             jnp.zeros((1,), jnp.int32), jnp.zeros((1, text_len, ctx_dim)))
+        want_frozen = self.init_frozen_towers
+        if want_frozen is None:
+            want_frozen = not (self.precomputed_latents
+                               and not self.val_guidance_scales)
+        if not want_frozen:
+            return unet_params, {}
         vae_params = self.vae.init(
             r_vae, jnp.zeros((1, image_size, image_size, 3)), r_vae)
         text_params = self.text_encoder.init(
@@ -186,6 +198,12 @@ class StableDiffusion:
         (reference seeds a torch Generator, ref :322-326; here a jax key)."""
         if rng is None:
             rng = jax.random.key(self.val_seed if seed is None else seed)
+        if "text_encoder" not in frozen:
+            raise ValueError(
+                "generation requires the frozen VAE/CLIP towers, but they "
+                "were not initialized (init_frozen_towers resolved False on "
+                "the precomputed-latent path). Pass init_frozen_towers=true "
+                "to the model builder.")
         bsz = prompt_ids.shape[0]
         embeddings = self.embed_prompts(frozen, prompt_ids, negative_ids)
         latents = jax.random.normal(

@@ -25,6 +25,19 @@ __all__ = ["adamw", "build_optimizer", "multi_step_with_warmup",
 Schedule = Callable[[int], float]
 
 
+def _np_mod(step):
+    """numpy for host calls (plain int/np step), jnp under trace/jax arrays.
+
+    The fit loop evaluates the schedule every batch for LR logging; eager
+    jnp math there would dispatch device programs whose fetch queues behind
+    the in-flight train step — a hidden per-batch device sync."""
+    import numpy as np
+    if isinstance(step, (int, float, np.ndarray, np.generic)):
+        return np
+    import jax.numpy as jnp
+    return jnp
+
+
 def adamw(lr: float = 1e-4, betas: Sequence[float] = (0.9, 0.999),
           eps: float = 1e-8, weight_decay: float = 0.01,
           mu_dtype: Optional[str] = None) -> dict:
@@ -93,12 +106,12 @@ def multi_step_with_warmup(t_warmup: Union[str, int],
     steps = sorted(steps)
 
     def schedule(step):
-        import jax.numpy as jnp
-        s = jnp.asarray(step, jnp.float32)
-        warm = jnp.minimum(s / jnp.maximum(warmup, 1), 1.0) if warmup > 0 else 1.0
+        xp = _np_mod(step)
+        s = xp.asarray(step, xp.float32)
+        warm = xp.minimum(s / max(warmup, 1), 1.0) if warmup > 0 else 1.0
         factor = 1.0
         for m in steps:
-            factor = factor * jnp.where(s >= m, gamma, 1.0)
+            factor = factor * xp.where(s >= m, gamma, 1.0)
         return warm * factor
 
     return schedule
@@ -114,10 +127,10 @@ def linear_with_warmup(t_warmup: Union[str, int],
     total = _resolve(t_max, max_duration, batches_per_epoch, scale_schedule_ratio)
 
     def schedule(step):
-        import jax.numpy as jnp
-        s = jnp.asarray(step, jnp.float32)
-        warm = jnp.minimum(s / jnp.maximum(warmup, 1), 1.0) if warmup > 0 else 1.0
-        frac = jnp.clip((s - warmup) / jnp.maximum(total - warmup, 1), 0.0, 1.0)
+        xp = _np_mod(step)
+        s = xp.asarray(step, xp.float32)
+        warm = xp.minimum(s / max(warmup, 1), 1.0) if warmup > 0 else 1.0
+        frac = xp.clip((s - warmup) / max(total - warmup, 1), 0.0, 1.0)
         return warm * (alpha_i + frac * (alpha_f - alpha_i))
 
     return schedule
@@ -133,11 +146,11 @@ def cosine_annealing_with_warmup(t_warmup: Union[str, int],
     total = _resolve(t_max, max_duration, batches_per_epoch, scale_schedule_ratio)
 
     def schedule(step):
-        import jax.numpy as jnp
-        s = jnp.asarray(step, jnp.float32)
-        warm = jnp.minimum(s / jnp.maximum(warmup, 1), 1.0) if warmup > 0 else 1.0
-        frac = jnp.clip((s - warmup) / jnp.maximum(total - warmup, 1), 0.0, 1.0)
-        cos = 0.5 * (1 + jnp.cos(jnp.pi * frac))
+        xp = _np_mod(step)
+        s = xp.asarray(step, xp.float32)
+        warm = xp.minimum(s / max(warmup, 1), 1.0) if warmup > 0 else 1.0
+        frac = xp.clip((s - warmup) / max(total - warmup, 1), 0.0, 1.0)
+        cos = 0.5 * (1 + xp.cos(xp.pi * frac))
         return warm * (alpha_f + (1 - alpha_f) * cos)
 
     return schedule
@@ -149,9 +162,9 @@ def constant_with_warmup(t_warmup: Union[str, int],
     warmup = _resolve(t_warmup, max_duration, batches_per_epoch)
 
     def schedule(step):
-        import jax.numpy as jnp
-        s = jnp.asarray(step, jnp.float32)
-        return jnp.minimum(s / jnp.maximum(warmup, 1), 1.0) if warmup > 0 else 1.0
+        xp = _np_mod(step)
+        s = xp.asarray(step, xp.float32)
+        return xp.minimum(s / max(warmup, 1), 1.0) if warmup > 0 else 1.0
 
     return schedule
 

@@ -22,7 +22,6 @@ TPU-first design:
 
 from __future__ import annotations
 
-import functools
 import os
 import time as _time
 from typing import Any, Callable, Dict, Iterable, List, Mapping, Optional, Sequence, Tuple, Union
@@ -271,7 +270,12 @@ class Trainer:
         def loss_fn(p, mb, r):
             return model.loss_fn(p, frozen, mb, r)
 
-        def step_fn(ts: TrainState, batch, rng):
+        base_key = self._base_key
+
+        def step_fn(ts: TrainState, batch):
+            # per-step rng derived inside the program (host dispatches no
+            # per-step fold_in op; one fewer device round-trip per batch)
+            rng = jax.random.fold_in(base_key, ts.step)
             if n_accum == 1:
                 loss, grads = jax.value_and_grad(loss_fn)(ts.params, batch, rng)
             else:
@@ -318,35 +322,51 @@ class Trainer:
         return self._train_step_cache[key]
 
     # ------------------------------------------------------------------
+    def _device_batches(self) -> Iterable[Tuple[Dict[str, Any], int]]:
+        """Yield device-resident global batches one step ahead of consumption.
+
+        TPU input pattern: because the fit body dispatches its train step
+        asynchronously and only syncs on the NEXT iteration, the host decode +
+        device_put for batch i+1 (this generator's work between yields)
+        overlaps with the device executing step i — the Composer equivalent
+        is the dataloader's pin_memory/prefetch_factor overlap."""
+        for host_batch in self.train_dataloader:
+            n = _leading_dim(host_batch)
+            yield make_global_batch(dict(host_batch), self.mesh), n
+
     def fit(self) -> None:
         if self.train_dataloader is None:
             raise ValueError("fit() requires a train_dataloader")
         state, logger = self.state, self.logger
         self.engine.run(Event.FIT_START, state, logger)
         fit_start = _time.monotonic()
+        last_batch_end = fit_start
 
         while state.timestamp.batch < self.max_batches:
             self.engine.run(Event.EPOCH_START, state, logger)
             epoch_had_batches = False
-            for host_batch in self.train_dataloader:
+            prev_loss = None
+            for batch, host_n in self._device_batches():
                 if state.timestamp.batch >= self.max_batches:
                     break
                 epoch_had_batches = True
                 self.engine.run(Event.BEFORE_DATALOADER, state, logger)
-                samples = _leading_dim(host_batch) * (
-                    jax.process_count())
-                batch = make_global_batch(dict(host_batch), self.mesh)
+                samples = host_n * jax.process_count()
                 state.batch = batch
                 self.engine.run(Event.AFTER_DATALOADER, state, logger)
                 self.engine.run(Event.BATCH_START, state, logger)
 
                 step_idx = state.timestamp.batch
-                rng = jax.random.fold_in(self._base_key, step_idx)
-                train_step = self._train_step_for(_leading_dim(host_batch)
-                                                  * jax.process_count())
-                t0 = _time.monotonic()
+                train_step = self._train_step_for(samples)
                 self.engine.run(Event.BEFORE_TRAIN_BATCH, state, logger)
-                new_ts, metrics = train_step(state.train_state, batch, rng)
+                new_ts, metrics = train_step(state.train_state, batch)
+                # self-throttle to <=2 steps in flight: drain the PREVIOUS
+                # step's loss after dispatching this one (unbounded async
+                # dispatch stacks per-step transients in HBM; a fetch is the
+                # only real sync point on some PJRT runtimes)
+                if prev_loss is not None:
+                    float(np.asarray(prev_loss))
+                prev_loss = metrics["loss/train/total"]
                 state.train_state = new_ts
                 self.train_state = new_ts
                 state.loss = metrics["loss/train/total"]
@@ -355,8 +375,10 @@ class Trainer:
                 self.engine.run(Event.AFTER_TRAIN_BATCH, state, logger)
 
                 state.timestamp.to_next_batch(samples=samples)
-                state.batch_wct = _time.monotonic() - t0
-                state.total_wct = _time.monotonic() - fit_start
+                now = _time.monotonic()
+                state.batch_wct = now - last_batch_end
+                last_batch_end = now
+                state.total_wct = now - fit_start
                 state.lr = float(self._base_lr) * float(
                     np.asarray(self._schedule(step_idx)))
                 self.engine.run(Event.BATCH_END, state, logger)
@@ -409,18 +431,6 @@ class Trainer:
             return out
 
         return jax.jit(eval_fn)
-
-    def _eval_generate_step(self, scale: float, height: int, width: int) -> Callable:
-        model, frozen = self.model, self.frozen
-
-        @functools.partial(jax.jit, static_argnums=())
-        def gen(params, prompt_ids, rng):
-            return model.generate(params, frozen, prompt_ids, height=height,
-                                  width=width, guidance_scale=scale,
-                                  num_inference_steps=self.eval_num_inference_steps,
-                                  rng=rng)
-
-        return gen
 
     def eval(self, subset_num_batches: Optional[int] = None) -> Dict[str, float]:
         state, logger = self.state, self.logger
