@@ -43,10 +43,13 @@ class CLIPScore(Metric):
         img, txt = (np.asarray(e, np.float64) for e in embeddings)
         img = img / np.linalg.norm(img, axis=-1, keepdims=True)
         txt = txt / np.linalg.norm(txt, axis=-1, keepdims=True)
-        score = 100.0 * np.clip((img * txt).sum(axis=-1), 0.0, None)
+        # accumulate UNclamped; torchmetrics clamps the mean at compute()
+        # (torchmetrics.multimodal.CLIPScore semantics), not per sample
+        score = 100.0 * (img * txt).sum(axis=-1)
         self._sum += float(score.sum())
         self._n += score.shape[0]
 
     def compute(self) -> float:
         total = all_hosts_sum(np.asarray([self._sum, self._n]))
-        return float(total[0] / total[1]) if total[1] else float("nan")
+        return float(max(total[0] / total[1], 0.0)) if total[1] \
+            else float("nan")

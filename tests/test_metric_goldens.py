@@ -1,0 +1,63 @@
+"""Golden-value pins for FID / InceptionScore / CLIPScore.
+
+The fixture (tests/goldens/metrics_golden.npz, produced by
+tools/make_metric_goldens.py) carries inputs plus expected values computed
+with torch via torchmetrics' exact published algorithms — an independent
+code path from diffusion_tpu/metrics. If our metric math ever drifts from
+torchmetrics semantics (the reference's metric source of truth,
+diffusion/models/models.py:61-72), these fail."""
+
+import os
+
+import numpy as np
+import pytest
+
+from diffusion_tpu.metrics.clip_score import CLIPScore
+from diffusion_tpu.metrics.fid import FrechetInceptionDistance
+from diffusion_tpu.metrics.inception_score import InceptionScore
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
+                      "metrics_golden.npz")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    assert os.path.exists(GOLDEN), \
+        "regenerate with: python tools/make_metric_goldens.py"
+    return np.load(GOLDEN)
+
+
+def test_fid_matches_torchmetrics_golden(golden):
+    fid = FrechetInceptionDistance(feature_dim=golden["fid_real"].shape[1])
+    # split updates across chunks: the streaming sums must not matter
+    for chunk in np.array_split(golden["fid_real"], 3):
+        fid.update(features=chunk, real=True)
+    for chunk in np.array_split(golden["fid_fake"], 4):
+        fid.update(features=chunk, real=False)
+    assert fid.compute() == pytest.approx(float(golden["fid_expected"]),
+                                          rel=1e-6)
+
+
+def test_inception_score_matches_torchmetrics_golden(golden):
+    m = InceptionScore(splits=int(golden["is_splits"]))
+    for chunk in np.array_split(golden["is_logits"], 5):
+        m.update(logits=chunk)
+    assert m.compute() == pytest.approx(float(golden["is_expected"]),
+                                        rel=1e-6)
+
+
+def test_clip_score_matches_torchmetrics_golden(golden):
+    m = CLIPScore()
+    m.update(embeddings=(golden["clip_img"], golden["clip_txt"]))
+    assert m.compute() == pytest.approx(float(golden["clip_expected"]),
+                                        rel=1e-6)
+
+
+def test_clip_score_clamps_mean_not_samples(golden):
+    """torchmetrics clamps the MEAN at compute, not per sample — negative
+    similarities must drag the accumulator below zero first."""
+    m = CLIPScore()
+    m.update(embeddings=(golden["clip_img_neg"], golden["clip_txt_neg"]))
+    assert m._sum < 0.0
+    assert m.compute() == pytest.approx(float(golden["clip_neg_expected"]),
+                                        abs=1e-9)
