@@ -27,7 +27,7 @@ import io
 import json
 import os
 import struct
-from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -76,14 +76,31 @@ def decode_value(encoding: str, data: bytes) -> Any:
 
 class MDSWriter:
     """Sharded dataset writer (MDSWriter parity: `columns` dict of
-    name->encoding, `size_limit` bytes per shard, context-manager protocol)."""
+    name->encoding, `size_limit` bytes per shard, context-manager protocol).
 
-    def __init__(self, out: str, columns: Dict[str, str],
+    `out` may also be a `(local, remote)` pair — shards then stream to the
+    remote (s3://, gs://, or path) in a background thread as each one
+    completes, the way the reference cloudwriter targets buckets directly
+    (reference scripts/laion_cloudwriter.py:230-235); `keep_local=False`
+    deletes each local shard after its upload lands."""
+
+    def __init__(self, out: Union[str, Sequence[str]], columns: Dict[str, str],
                  size_limit: int = 1 << 26, compression: Optional[str] = None,
-                 hashes: Sequence[str] = (), **_: Any):
+                 hashes: Sequence[str] = (), keep_local: bool = True,
+                 **_: Any):
         if compression:
             raise NotImplementedError("compression not supported")
+        self.remote: Optional[str] = None
+        if not isinstance(out, str):
+            out, self.remote = out
         self.out = out
+        self.keep_local = keep_local
+        self._uploads: List[Any] = []
+        self._pool = None
+        if self.remote:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=4,
+                                            thread_name_prefix="mds-upload")
         os.makedirs(out, exist_ok=True)
         self.column_names = sorted(columns)  # deterministic column order
         self.column_encodings = [columns[c] for c in self.column_names]
@@ -135,11 +152,26 @@ class MDSWriter:
             "zip_data": None,
         })
         self._samples, self._bytes = [], 0
+        if self._pool is not None:
+            self._uploads.append(self._pool.submit(self._upload, basename))
+
+    def _upload(self, basename: str) -> None:
+        from diffusion_tpu.data.object_store import ObjectStore
+        local = os.path.join(self.out, basename)
+        ObjectStore().upload(local, f"{self.remote.rstrip('/')}/{basename}")
+        if not self.keep_local and basename != "index.json":
+            os.remove(local)
 
     def finish(self) -> None:
         self._flush_shard()
         with open(os.path.join(self.out, "index.json"), "w") as f:
             json.dump({"version": 2, "shards": self._shards}, f)
+        if self._pool is not None:
+            for fut in self._uploads:
+                fut.result()  # surface upload failures to the caller
+            self._upload("index.json")
+            self._pool.shutdown(wait=True)
+            self._pool = None
 
     def __enter__(self) -> "MDSWriter":
         return self

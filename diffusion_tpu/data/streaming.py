@@ -136,6 +136,31 @@ class StreamingDataset:
         local = global_idx - self._shard_cum[flat]
         return self._reader(flat).get(local)
 
+    def flat_shard_of(self, global_idx: int) -> int:
+        """Flat shard index holding a global sample index."""
+        return int(np.searchsorted(self._shard_cum, global_idx, side="right") - 1)
+
+    def release_shard(self, flat_shard: int) -> bool:
+        """Delete the local cached copy of a fully-consumed shard (the
+        reference's incremental input-shard deletion during latent precompute,
+        reference precompute_latents.py:335-351). Refuses when the local dir
+        IS the source of truth (no remote to re-download from). Returns
+        whether a file was removed; the shard re-downloads transparently if
+        accessed again."""
+        si, shard_idx = self._shard_infos[flat_shard]
+        stream, index = self.streams[si], self._indexes[si]
+        if not stream.remote or os.path.abspath(stream.remote) == \
+                os.path.abspath(stream.local):
+            return False
+        with self._lock:
+            self._readers.pop(flat_shard, None)
+        path = os.path.join(stream.local,
+                            index.shards[shard_idx]["raw_data"]["basename"])
+        if os.path.exists(path):
+            os.remove(path)
+            return True
+        return False
+
     def __len__(self) -> int:
         return self.num_samples
 

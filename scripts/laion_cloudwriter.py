@@ -1,18 +1,21 @@
 #!/usr/bin/env python
-"""Long-running parquet -> MDS converter with resolution bucketing.
+"""Long-running parquet -> MDS converter with resolution bucketing and
+cloud upload.
 
 TPU-native equivalent of the reference's cloudwriter (reference:
 scripts/laion_cloudwriter.py): polls a download directory for parquet shards
 whose img2dataset `*_stats.json` marks them complete (ref :78-98), decodes
 and validates every image (ref :166-175), writes MDS samples with the LAION
 metadata columns (ref :177-195), routes each sample to a **resolution
-bucket** [0,64,128,256,512,768,1024,inf) with one writer per bucket
-(ref :299-309), and deletes consumed parquets once all buckets finish them
-(ref :254-287).
+bucket** [0,64,128,256,512,768,1024,inf) with one writer per bucket and one
+background uploader per bucket streaming finished shards to the remote
+(ref :299-309), deletes consumed parquets once converted (ref :254-287),
+and reports progress (stdout + optional wandb, ref wandb progress).
 
-Single-process with per-bucket writers (the reference uses one uploader
-process per bucket; on a TPU host the bottleneck is network, not CPU
-fan-out — swap in a process pool if needed).
+Decode/validation fans out over a thread pool (PIL releases the GIL in
+decode); each bucket's MDSWriter uploads its shards on its own background
+threads, so conversion, upload, and polling overlap like the reference's
+process fan-out.
 """
 
 from __future__ import annotations
@@ -24,6 +27,7 @@ import json
 import os
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -59,73 +63,120 @@ def completed_parquets(download_dir: str) -> list:
     return done
 
 
+def decode_row(row: dict):
+    """Validate one row's image; -> (sample, bucket) or None (ref :166-175)."""
+    from PIL import Image
+
+    data = row.get("jpg") or row.get("image")
+    if not data:
+        return None
+    try:
+        img = Image.open(io.BytesIO(data))
+        img.verify()
+        w, h = img.size
+    except Exception:
+        return None
+    sample = {k: "" for k in COLUMNS}
+    sample.update({
+        "jpg": data,
+        "caption": str(row.get("caption") or ""),
+        "url": str(row.get("url") or ""),
+        "key": str(row.get("key") or ""),
+        "width": int(w), "height": int(h),
+        "original_width": int(row.get("original_width") or w),
+        "original_height": int(row.get("original_height") or h),
+        "status": str(row.get("status") or "ok"),
+        "error_message": str(row.get("error_message") or ""),
+        "exif": str(row.get("exif") or ""),
+        "similarity": str(row.get("similarity") or ""),
+        "punsafe": str(row.get("punsafe") or ""),
+        "pwatermark": str(row.get("pwatermark") or ""),
+        "aesthetic": str(row.get("AESTHETIC_SCORE")
+                         or row.get("aesthetic") or ""),
+        "hash": str(row.get("hash") or ""),
+    })
+    return sample, bucket_of(w, h)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--download-dir", required=True)
-    p.add_argument("--out", required=True, help="output root; per-bucket subdirs")
+    p.add_argument("--out", required=True, help="local output root; per-bucket subdirs")
+    p.add_argument("--remote", default=None,
+                   help="remote root (s3://, gs://, or path); shards upload "
+                        "per bucket in the background as they complete")
+    p.add_argument("--keep-local", action="store_true",
+                   help="with --remote: keep local shard copies after upload")
     p.add_argument("--poll-interval", type=float, default=30.0)
+    p.add_argument("--decode-workers", type=int, default=8)
     p.add_argument("--remove-consumed", action="store_true")
     p.add_argument("--one-shot", action="store_true",
                    help="convert what exists and exit (no polling)")
+    p.add_argument("--wandb", action="store_true",
+                   help="log progress to wandb (reference parity; no-op if "
+                        "wandb is unavailable)")
     args = p.parse_args()
 
     import pyarrow.parquet as pq
-    from PIL import Image
+
+    wandb_run = None
+    if args.wandb:
+        try:
+            import wandb
+            wandb_run = wandb.init(project="laion-cloudwriter")
+        except Exception:
+            print("wandb unavailable; progress to stdout only")
 
     writers = {}
     for lo in BUCKETS:
-        writers[lo] = MDSWriter(os.path.join(args.out, f"bucket_{lo}"), COLUMNS)
+        local = os.path.join(args.out, f"bucket_{lo}")
+        out = local if args.remote is None else \
+            (local, f"{args.remote.rstrip('/')}/bucket_{lo}")
+        writers[lo] = MDSWriter(out, COLUMNS,
+                                keep_local=args.keep_local or not args.remote)
 
     consumed = set()
+    totals = {"parquets": 0, "samples": 0, "rejected": 0}
+    pool = ThreadPoolExecutor(max_workers=max(args.decode_workers, 1))
+    t_start = time.time()
     try:
         while True:
             new = [f for f in completed_parquets(args.download_dir)
                    if f not in consumed]
             for parquet in new:
-                table = pq.read_table(parquet)
-                rows = table.to_pylist()
+                rows = pq.read_table(parquet).to_pylist()
                 n_ok = 0
-                for row in rows:
-                    data = row.get("jpg") or row.get("image")
-                    if not data:
+                # decode/validate in parallel; write in arrival order
+                for decoded in pool.map(decode_row, rows):
+                    if decoded is None:
+                        totals["rejected"] += 1
                         continue
-                    try:  # decode/validate every image (ref :166-175)
-                        img = Image.open(io.BytesIO(data))
-                        img.verify()
-                        w, h = img.size
-                    except Exception:
-                        continue
-                    sample = {k: "" for k in COLUMNS}
-                    sample.update({
-                        "jpg": data,
-                        "caption": str(row.get("caption") or ""),
-                        "url": str(row.get("url") or ""),
-                        "key": str(row.get("key") or ""),
-                        "width": int(w), "height": int(h),
-                        "original_width": int(row.get("original_width") or w),
-                        "original_height": int(row.get("original_height") or h),
-                        "status": str(row.get("status") or "ok"),
-                        "error_message": str(row.get("error_message") or ""),
-                        "exif": str(row.get("exif") or ""),
-                        "similarity": str(row.get("similarity") or ""),
-                        "punsafe": str(row.get("punsafe") or ""),
-                        "pwatermark": str(row.get("pwatermark") or ""),
-                        "aesthetic": str(row.get("AESTHETIC_SCORE")
-                                         or row.get("aesthetic") or ""),
-                        "hash": str(row.get("hash") or ""),
-                    })
-                    writers[bucket_of(w, h)].write(sample)
+                    sample, bucket = decoded
+                    writers[bucket].write(sample)
                     n_ok += 1
                 consumed.add(parquet)
-                print(f"converted {parquet}: {n_ok}/{len(rows)} samples")
-                if args.remove_consumed:
-                    os.remove(parquet)  # ref :254-287 remover process
+                totals["parquets"] += 1
+                totals["samples"] += n_ok
+                rate = totals["samples"] / max(time.time() - t_start, 1e-9)
+                progress = {**totals, "samples_per_sec": round(rate, 1)}
+                print(f"converted {parquet}: {n_ok}/{len(rows)} samples "
+                      f"| {progress}")
+                if wandb_run is not None:
+                    wandb_run.log(progress)
+                if args.remove_consumed:  # ref :254-287 remover process
+                    os.remove(parquet)
+                    stats = parquet.replace(".parquet", "_stats.json")
+                    if os.path.exists(stats):
+                        os.remove(stats)
             if args.one_shot:
                 break
             time.sleep(args.poll_interval)
     finally:
         for w in writers.values():
             w.finish()
+        pool.shutdown(wait=True)
+        if wandb_run is not None:
+            wandb_run.finish()
 
 
 if __name__ == "__main__":

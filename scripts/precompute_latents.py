@@ -33,13 +33,21 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--remote", required=True, help="source MDS dir/bucket")
     p.add_argument("--local", default=None)
-    p.add_argument("--out", required=True)
+    p.add_argument("--out", required=True, help="local output root")
+    p.add_argument("--out-remote", default=None,
+                   help="optional remote root (s3://, gs://, or path): output "
+                        "shards upload in the background as they complete "
+                        "(the reference uploads per bucket, ref :274-276)")
     p.add_argument("--sizes", type=int, nargs="+", default=[256, 512])
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--image-key", default="jpg")
     p.add_argument("--caption-key", default="caption")
     p.add_argument("--model-name", default=None,
                    help="local HF dir for tokenizer/weights")
+    p.add_argument("--keep-inputs", action="store_true",
+                   help="do not delete consumed input shards from the local "
+                        "cache (deletion is the reference default, "
+                        "ref :335-351; it only ever removes cached copies)")
     args = p.parse_args()
 
     import jax
@@ -75,12 +83,21 @@ def main() -> None:
     ids = dataset.partition(0, rank, world)
     crops = {s: LargestCenterSquare(s) for s in args.sizes}
 
+    # incremental deletion of consumed input shards from the local cache
+    # (ref :335-351): count this host's samples per shard, release at zero
+    shard_remaining: dict = {}
+    for gid in ids:
+        f = dataset.flat_shard_of(int(gid))
+        shard_remaining[f] = shard_remaining.get(f, 0) + 1
+
     columns = {args.image_key: "bytes", args.caption_key: "str",
                "caption_latents": "bytes"}
     columns.update({f"latents_{s}": "bytes" for s in args.sizes})
     out_dir = os.path.join(args.out, str(rank))
+    out = out_dir if not args.out_remote else \
+        (out_dir, f"{args.out_remote.rstrip('/')}/{rank}")
 
-    with MDSWriter(out_dir, columns) as writer:
+    with MDSWriter(out, columns) as writer:
         for start in range(0, len(ids), args.batch_size):
             chunk = ids[start:start + args.batch_size]
             raws, imgs_by_size, captions, valid_by_size = [], {s: [] for s in args.sizes}, [], {s: [] for s in args.sizes}
@@ -113,6 +130,12 @@ def main() -> None:
                         lat.transpose(2, 0, 1).tobytes()
                         if valid_by_size[s][i] else b"")
                 writer.write(sample)
+            if not args.keep_inputs:
+                for gid in chunk:
+                    f = dataset.flat_shard_of(int(gid))
+                    shard_remaining[f] -= 1
+                    if shard_remaining[f] == 0:
+                        dataset.release_shard(f)
             dist.barrier("precompute_batch")
     print(f"rank {rank}: wrote {len(ids)} samples to {out_dir}")
 

@@ -253,3 +253,46 @@ def test_coco_dataset_zero_one_range(tmp_path):
     assert img.shape == (3, 32, 32, 3)
     assert img.min() >= 0.0 and img.max() <= 1.0       # FID range, no +-1
     assert batch["captions"].shape == (3, 77)
+
+
+def test_mds_writer_remote_upload(tmp_path):
+    """(local, remote) MDSWriter streams every shard + index to the remote in
+    the background (reference cloudwriter targets buckets directly,
+    laion_cloudwriter.py:230-235,299-309); keep_local=False prunes local
+    shard copies after their upload lands."""
+    local = str(tmp_path / "local")
+    remote = str(tmp_path / "remote")
+    with MDSWriter((local, remote), {"jpg": "bytes", "caption": "str"},
+                   size_limit=2000, keep_local=False) as w:
+        for i in range(25):
+            w.write({"jpg": _jpeg_bytes(), "caption": f"c {i}"})
+    index = MDSIndex(remote)
+    assert index.num_samples == 25
+    assert len(index.shards) > 1
+    for s in index.shards:
+        base = s["raw_data"]["basename"]
+        assert os.path.exists(os.path.join(remote, base))
+        assert not os.path.exists(os.path.join(local, base))  # pruned
+    # remote copy is readable end to end
+    ds = StreamingDataset(local=remote)
+    assert ds.get_sample(13)["caption"] == "c 13"
+
+
+def test_release_shard_deletes_cache_only(tmp_path):
+    """release_shard removes a consumed shard from the local CACHE and the
+    shard transparently re-downloads on next access; it refuses to touch a
+    local-only source (reference precompute_latents.py:335-351)."""
+    src = make_mds(tmp_path, n=25)
+    cache = str(tmp_path / "cache")
+    ds = StreamingDataset(remote=src, local=cache)
+    assert ds.get_sample(0)["idx"] == 0
+    flat = ds.flat_shard_of(0)
+    base = ds._indexes[0].shards[flat]["raw_data"]["basename"]
+    assert os.path.exists(os.path.join(cache, base))
+    assert ds.release_shard(flat)
+    assert not os.path.exists(os.path.join(cache, base))
+    assert ds.get_sample(0)["idx"] == 0       # re-downloaded transparently
+    # local-only dataset: refuse
+    ds2 = StreamingDataset(local=src)
+    assert not ds2.release_shard(ds2.flat_shard_of(0))
+    assert ds2.get_sample(0)["idx"] == 0
