@@ -41,6 +41,12 @@ def load_config(path: str, overrides: Optional[Sequence[str]] = None) -> Dict[st
         cfg = yaml.safe_load(f) or {}
     if not isinstance(cfg, dict):
         raise TypeError(f"top-level config must be a mapping, got {type(cfg)}")
+    # mosaic-yaml dialect: the whole config tree nests under `parameters:`
+    # (reference yamls/mosaic-yamls/SD-2-base-256.yaml:20+ — the mcli platform
+    # wraps the hydra tree); accept both dialects transparently
+    if "parameters" in cfg and isinstance(cfg["parameters"], dict) \
+            and "model" in cfg["parameters"]:
+        cfg = cfg["parameters"]
     if overrides:
         cfg = apply_overrides(cfg, overrides)
     return resolve(cfg)
