@@ -2,10 +2,14 @@
 # test / test-tpu, plus the distributed target the reference declared but
 # never implemented — here it actually runs the 8-device dry run).
 
-.PHONY: test test-tpu test-dist bench lint
+.PHONY: test test-fast test-tpu test-dist bench lint
 
 test:
 	python -m pytest tests/ -x -q
+
+# sub-minute signal: skip the multi-minute trainer/composition tests
+test-fast:
+	python -m pytest tests/ -x -q -m "not slow"
 
 # run the suite against the real chip (drops the CPU-mesh override)
 test-tpu:

@@ -27,5 +27,17 @@ except Exception:
 
 jax.config.update("jax_threefry_partitionable", True)
 
+# persistent compilation cache: compile cost dominates suite wall time on a
+# 1-core host; re-runs hit the disk cache instead of recompiling
+_cache_dir = os.environ.get("DIFFUSION_TPU_TEST_CACHE",
+                            os.path.expanduser("~/.cache/diffusion_tpu_xla"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_raise_persistent_cache_errors", False)
+except Exception:
+    pass  # older jax: cache flags absent; compiles stay in-memory only
+
 assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
