@@ -178,3 +178,59 @@ def test_clip_text_port_roundtrip():
     assert set(flat_back) == set(flat)
     for k in flat:
         np.testing.assert_array_equal(flat_back[k], flat[k], err_msg=k)
+
+
+def test_inception_port_roundtrip():
+    """Our InceptionV3 tree -> synthetic torchvision-style state_dict ->
+    port_inception -> identical tree (names + layouts), loadable by
+    load_inception_params and runnable."""
+    import os
+    import tempfile
+
+    from diffusion_tpu.models.inception import (InceptionV3,
+                                                load_inception_params)
+    from tools.port_weights import port_inception
+
+    model = InceptionV3()
+    variables = jax.eval_shape(
+        lambda r: model.init(r, jnp.zeros((1, 299, 299, 3))),
+        jax.random.key(0))
+    flat = _flatten(jax.tree.map(
+        lambda s: np.zeros(s.shape, np.float32), variables,
+        is_leaf=lambda x: hasattr(x, "shape") and not isinstance(x, dict)))
+
+    rng = np.random.default_rng(0)
+    state_dict = {}
+    for path, v in flat.items():
+        coll, rest = path.split("/", 1)
+        mod_path, leaf = rest.rsplit("/", 1)
+        mod = mod_path.replace("/", ".")
+        val = rng.standard_normal(v.shape).astype(np.float32)
+        if coll == "params":
+            if leaf == "kernel" and val.ndim == 4:            # HWIO -> OIHW
+                state_dict[f"{mod}.weight"] = val.transpose(3, 2, 0, 1)
+            elif leaf == "kernel":                            # fc (in,out)
+                state_dict[f"{mod}.weight"] = val.transpose(1, 0)
+            elif leaf == "scale":
+                state_dict[f"{mod}.weight"] = val
+            else:
+                state_dict[f"{mod}.{leaf}"] = val
+        else:  # batch_stats
+            name = {"mean": "running_mean", "var": "running_var"}[leaf]
+            state_dict[f"{mod}.{name}"] = val
+    # porter must drop these silently
+    state_dict["AuxLogits.conv0.conv.weight"] = np.zeros((1, 1, 1, 1), np.float32)
+    state_dict["Mixed_5b.branch1x1.bn.num_batches_tracked"] = np.zeros((), np.float32)
+
+    ported = port_inception(state_dict)
+    assert set(ported) == set(flat), (
+        set(ported) ^ set(flat))
+    for k in flat:
+        assert ported[k].shape == flat[k].shape, k
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "inception.npz")
+        np.savez(path, **ported)
+        tree = load_inception_params(path)
+    feats = model.apply(tree, jnp.zeros((1, 299, 299, 3)))
+    assert feats.shape == (1, 2048)

@@ -285,6 +285,43 @@ def port_clip_vision(t: Dict[str, np.ndarray]) -> Dict:
     return {"params": out}
 
 
+def port_inception(t: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """torchvision/FID InceptionV3 state_dict -> flat npz dict for
+    metrics/towers.py (models/inception.py mirrors torchvision module names,
+    so the mapping is purely mechanical). Accepts both torchvision
+    `inception_v3` weights and the pt-fid variant (1008-class fc); aux
+    classifier tensors are dropped (the FID tower never runs them).
+
+    npz keys: `params/<module>/conv/kernel`, `params/<module>/bn/{scale,bias}`,
+    `batch_stats/<module>/bn/{mean,var}`, `params/fc/{kernel,bias}` — the
+    exact tree load_inception_params rebuilds."""
+    out: Dict[str, np.ndarray] = {}
+    for name, w in t.items():
+        if name.startswith("AuxLogits") or name.endswith("num_batches_tracked"):
+            continue
+        if name == "fc.weight":
+            out["params/fc/kernel"] = _lin(w)
+            continue
+        if name == "fc.bias":
+            out["params/fc/bias"] = w
+            continue
+        mod, leaf = name.rsplit(".", 1)
+        path = mod.replace(".", "/")            # Mixed_5b.branch1x1.conv -> /
+        if path.endswith("/conv") and leaf == "weight":
+            out[f"params/{path}/kernel"] = _conv(w)
+        elif path.endswith("/bn") and leaf == "weight":
+            out[f"params/{path}/scale"] = w
+        elif path.endswith("/bn") and leaf == "bias":
+            out[f"params/{path}/bias"] = w
+        elif path.endswith("/bn") and leaf == "running_mean":
+            out[f"batch_stats/{path}/mean"] = w
+        elif path.endswith("/bn") and leaf == "running_var":
+            out[f"batch_stats/{path}/var"] = w
+        else:
+            raise KeyError(f"unmapped inception tensor {name}")
+    return out
+
+
 def main() -> None:
     import flax.serialization
 
@@ -292,6 +329,10 @@ def main() -> None:
     p.add_argument("--model-dir", required=True,
                    help="local HF stable-diffusion-2-base dir")
     p.add_argument("--out", required=True)
+    p.add_argument("--inception-pth", default=None,
+                   help="optional torchvision/FID InceptionV3 .pth; ports "
+                        "the FID tower to <out>/inception.npz "
+                        "(DIFFUSION_TPU_INCEPTION_WEIGHTS target)")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -305,6 +346,15 @@ def main() -> None:
         with open(out_path, "wb") as f:
             f.write(blob)
         print(f"ported {sub}: {len(tensors)} tensors -> {out_path}")
+
+    if args.inception_pth:
+        import torch
+        sd = torch.load(args.inception_pth, map_location="cpu")
+        sd = sd.get("state_dict", sd)
+        flat = port_inception({k: v.numpy() for k, v in sd.items()})
+        out_path = os.path.join(args.out, "inception.npz")
+        np.savez(out_path, **flat)
+        print(f"ported inception: {len(flat)} tensors -> {out_path}")
 
 
 if __name__ == "__main__":
