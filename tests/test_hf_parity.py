@@ -155,3 +155,58 @@ def test_vae_golden_fixture():
     np.testing.assert_allclose(np.asarray(dec),
                                data["decoded"].transpose(0, 2, 3, 1),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_clip_metric_tower_matches_transformers(tmp_path):
+    """Full CLIPModel (both towers + projections — the CLIPScore tower) vs
+    HF, through the npz port path the metric towers actually load
+    (port_clip_metric -> npz -> load_inception_params container)."""
+    from diffusion_tpu.models.clip import (CLIPModel, CLIPTextConfig,
+                                           CLIPVisionConfig)
+    from diffusion_tpu.models.inception import load_inception_params
+    from tools.port_weights import port_clip_metric
+
+    cfg = transformers.CLIPConfig(
+        # eos_token_id=2 is the real openai/clip-vit-large-patch14 config:
+        # HF then pools at argmax(input_ids) (modeling_clip.py "PR #24773"
+        # legacy branch), which is the behavior our text tower implements
+        text_config={"vocab_size": 99, "hidden_size": 32,
+                     "intermediate_size": 64, "num_hidden_layers": 2,
+                     "num_attention_heads": 4, "max_position_embeddings": 77,
+                     "hidden_act": "quick_gelu", "layer_norm_eps": 1e-5,
+                     "eos_token_id": 2},
+        vision_config={"image_size": 32, "patch_size": 8, "hidden_size": 32,
+                       "intermediate_size": 64, "num_hidden_layers": 2,
+                       "num_attention_heads": 4, "hidden_act": "quick_gelu",
+                       "layer_norm_eps": 1e-5},
+        projection_dim=16)
+    torch.manual_seed(0)
+    hf = transformers.CLIPModel(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    flat = port_clip_metric(sd)
+    npz = tmp_path / "clip_metric.npz"
+    np.savez(npz, **flat)
+    params = load_inception_params(str(npz))
+
+    ours = CLIPModel(
+        CLIPTextConfig(vocab_size=99, hidden_size=32, intermediate_size=64,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       max_position_embeddings=77, hidden_act="quick_gelu",
+                       projection_dim=16),
+        CLIPVisionConfig(image_size=32, patch_size=8, hidden_size=32,
+                         intermediate_size=64, num_hidden_layers=2,
+                         num_attention_heads=4, hidden_act="quick_gelu",
+                         projection_dim=16))
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(1, 99, (2, 77)).astype(np.int64)
+    pix = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want_txt = hf.get_text_features(torch.from_numpy(ids)).numpy()
+        want_img = hf.get_image_features(torch.from_numpy(pix)).numpy()
+    got_txt, got_img = ours.apply(params, jnp.asarray(ids, jnp.int32),
+                                  jnp.asarray(pix.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got_txt), want_txt,
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_img), want_img,
+                               atol=5e-5, rtol=1e-4)

@@ -285,6 +285,34 @@ def port_clip_vision(t: Dict[str, np.ndarray]) -> Dict:
     return {"params": out}
 
 
+def port_clip_metric(t: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Full transformers CLIPModel (ViT-L/14) state_dict -> flat npz dict for
+    the CLIPScore tower (metrics/towers.py clip_embed_fn / models/clip.py
+    CLIPModel: text_model + vision_model + both projections; logit_scale is
+    dropped — CLIPScore normalizes embeddings itself)."""
+    text = port_clip_text(t)["params"]
+    vision = port_clip_vision(t)["params"]
+    tree = {"params": {
+        "text_model": text,
+        "vision_model": vision,
+        "text_projection": {"kernel": _lin(t["text_projection.weight"])},
+        "visual_projection": {"kernel": _lin(t["visual_projection.weight"])},
+    }}
+
+    flat: Dict[str, np.ndarray] = {}
+
+    def _walk(node, prefix):
+        for k, v in node.items():
+            path = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                _walk(v, path)
+            else:
+                flat[path] = np.asarray(v)
+
+    _walk(tree, "")
+    return flat
+
+
 def port_inception(t: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """torchvision/FID InceptionV3 state_dict -> flat npz dict for
     metrics/towers.py (models/inception.py mirrors torchvision module names,
@@ -333,6 +361,10 @@ def main() -> None:
                    help="optional torchvision/FID InceptionV3 .pth; ports "
                         "the FID tower to <out>/inception.npz "
                         "(DIFFUSION_TPU_INCEPTION_WEIGHTS target)")
+    p.add_argument("--clip-metric-dir", default=None,
+                   help="optional local HF clip-vit-large-patch14 dir; ports "
+                        "the CLIPScore tower to <out>/clip_metric.npz "
+                        "(DIFFUSION_TPU_CLIP_WEIGHTS target)")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -355,6 +387,13 @@ def main() -> None:
         out_path = os.path.join(args.out, "inception.npz")
         np.savez(out_path, **flat)
         print(f"ported inception: {len(flat)} tensors -> {out_path}")
+
+    if args.clip_metric_dir:
+        tensors = load_safetensors_dir(args.clip_metric_dir)
+        flat = port_clip_metric(tensors)
+        out_path = os.path.join(args.out, "clip_metric.npz")
+        np.savez(out_path, **flat)
+        print(f"ported clip metric tower: {len(flat)} tensors -> {out_path}")
 
 
 if __name__ == "__main__":
