@@ -298,6 +298,20 @@ def main() -> None:
             e2e["e2e_frac_of_step"] = round(
                 e2e["e2e_per_chip"] / result["value"], 4)
             result.update(e2e)
+            # The HEADLINE is the end-to-end Trainer number: the reference's
+            # README.md:54-60 throughput is full-trainer (input pipeline,
+            # events, logging), and the pipelined fit loop overlaps the
+            # host round-trip that the serialized synthetic step pays per
+            # step. step-bench value stays as `step_per_chip`.
+            result["step_per_chip"] = result["value"]
+            result["metric"] = (
+                f"trainer_e2e_throughput_{res}px_per_chip")
+            result["value"] = e2e["e2e_per_chip"]
+            baseline_per_chip = (2300.0 if res == 256
+                                 else 2300.0 / 3.85) / 32.0
+            result["vs_baseline"] = round(
+                e2e["e2e_per_chip"] / baseline_per_chip, 4)
+            result["total_img_per_sec"] = e2e["e2e_img_per_sec"]
         except Exception as exc:  # noqa: BLE001 — headline number must survive
             result["e2e_error"] = f"{type(exc).__name__}: {exc}"[:200]
     print(json.dumps(result))
