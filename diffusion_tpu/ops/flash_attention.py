@@ -48,11 +48,20 @@ def _block(s: int, cap: int = 512) -> int:
     return 0
 
 
+# tuning knobs (bench sweeps); defaults are the measured-fastest settings
+_BQ_CAP = int(os.environ.get("DIFFUSION_TPU_FLASH_BQ", "512"))
+_BK_CAP = int(os.environ.get("DIFFUSION_TPU_FLASH_BK", "1024"))
+
+
+def _block_q(s: int) -> int:
+    return _block(s, cap=_BQ_CAP)
+
+
 def _block_kv(s: int) -> int:
     # KV tiles can run bigger than Q tiles: k/v blocks are (bk, 64) bf16 and
     # a 1024-row tile keeps the whole 256px self-attention KV in one grid
     # step (zero online-softmax rescale traffic) while 512px+ still streams
-    return _block(s, cap=1024)
+    return _block(s, cap=_BK_CAP)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref,
@@ -166,7 +175,7 @@ def _fwd(qf, kf, vf) -> Tuple[jnp.ndarray, jnp.ndarray]:
     bh, sq, d = qf.shape
     skv = kf.shape[1]
     scale = d ** -0.5
-    bq, bk = _block(sq), _block_kv(skv)
+    bq, bk = _block_q(sq), _block_kv(skv)
     kv_steps = skv // bk
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, kv_steps=kv_steps),
@@ -203,7 +212,7 @@ def _bwd(qf, kf, vf, out, lse, do):
     bh, sq, d = qf.shape
     skv = kf.shape[1]
     scale = d ** -0.5
-    bq, bk = _block(sq), _block_kv(skv)
+    bq, bk = _block_q(sq), _block_kv(skv)
     # delta_i = rowsum(dO_i * O_i); cheap XLA reduction, shape (BH, 1, Sq)
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)[:, None, :]
@@ -271,7 +280,7 @@ def _bwd(qf, kf, vf, out, lse, do):
 
 
 def _tiles_ok(q: jnp.ndarray, k: jnp.ndarray) -> bool:
-    return _block(q.shape[1]) > 0 and _block_kv(k.shape[1]) > 0
+    return _block_q(q.shape[1]) > 0 and _block_kv(k.shape[1]) > 0
 
 
 @jax.custom_vjp
