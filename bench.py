@@ -38,10 +38,10 @@ def step_bench() -> dict:
     res = int(_os.environ.get("BENCH_RES", "256"))   # 256 or 512 (headline pair)
     lat = res // 8
     # batch 24/chip at 256px (measured fastest that fits: 114.7 img/s vs
-    # 100.4 at the reference's 16/chip); 512px quadruples activation tokens
-    # -> batch 4 fits
+    # 100.4 at the reference's 16/chip); at 512px batch 8 is the measured
+    # sweet spot (23.8 img/s vs 19.2 at 4, 23.0 at 12 — paging beyond 8)
     per_chip_batch = int(float(_os.environ.get(
-        "BENCH_BATCH_PER_CHIP", "24" if res == 256 else "4")))
+        "BENCH_BATCH_PER_CHIP", "24" if res == 256 else "8")))
     bsz = per_chip_batch * n_dev
 
     # Memory budget on one 16 GB chip: fp32 params 3.5 GB + grads 3.5 GB +
@@ -211,7 +211,7 @@ def e2e_bench(res: int, steps: int = 12, skip: int = 2) -> dict:
 
     n_dev = jax.device_count()
     per_chip_batch = int(float(os.environ.get(
-        "BENCH_BATCH_PER_CHIP", "24" if res == 256 else "4")))
+        "BENCH_BATCH_PER_CHIP", "24" if res == 256 else "8")))
     bsz = per_chip_batch * n_dev
     data_dir = os.path.join(tempfile.gettempdir(),
                             f"diffusion_tpu_bench_mds_{res}")
