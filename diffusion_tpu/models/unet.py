@@ -77,8 +77,17 @@ class UNet2DCondition(nn.Module):
         """sample (B,H,W,Cin) NHWC, timesteps (B,), context (B,S,cross_dim)."""
         cfg = self.config
         if self.remat:
-            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                      if self.remat_policy == "dots" else None)
+            if self.remat_policy == "dots":
+                # save MXU outputs AND the flash-attention residuals (named
+                # in ops/flash_attention.py): the Pallas kernel is not a
+                # dot, so without the name policy the O(S^2) attention
+                # forward re-runs inside the backward pass
+                policy = jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    jax.checkpoint_policies.save_only_these_names(
+                        "flash_out", "flash_lse"))
+            else:
+                policy = None
             Res = nn.remat(ResnetBlock, policy=policy)
             Attn = nn.remat(Transformer2D, policy=policy)
         else:

@@ -31,6 +31,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -310,6 +311,13 @@ def _flash_fwd_rule(q, k, v):
     b, _, h, _ = q.shape
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     out, lse = _fwd(qf, kf, vf)
+    # named for remat policies: the kernel is not a lax.dot, so under the
+    # UNet's dots-saveable policy the whole O(S^2) forward would re-run
+    # inside the backward pass just to rebuild these residuals. unet.py
+    # adds save_only_these_names on these (q/k/v projections are plain
+    # matmuls the dots policy already saves).
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return _unfold(out, b, h), (qf, kf, vf, out, lse, b, h)
 
 

@@ -33,7 +33,7 @@ _cache_dir = os.environ.get("DIFFUSION_TPU_TEST_CACHE",
                             os.path.expanduser("~/.cache/diffusion_tpu_xla"))
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_raise_persistent_cache_errors", False)
 except Exception:

@@ -111,3 +111,28 @@ def test_ragged_length_falls_back_to_xla():
     for a, b in zip(g, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_remat_saved_residuals_grads_match():
+    """Under the UNet's remat policy the named flash residuals
+    (flash_out/flash_lse) are saved, so the O(S^2) forward kernel is not
+    replayed in the backward pass — and gradients stay exact."""
+    k0, k1, k2 = jax.random.split(jax.random.key(6), 3)
+    q = _rand(k0, (1, 128, 2, 64))
+    k = _rand(k1, (1, 128, 2, 64))
+    v = _rand(k2, (1, 128, 2, 64))
+
+    policy = jax.checkpoint_policies.save_from_both_policies(
+        jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        jax.checkpoint_policies.save_only_these_names(
+            "flash_out", "flash_lse"))
+
+    def f(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    g_remat = jax.grad(jax.checkpoint(f, policy=policy),
+                       argnums=(0, 1, 2))(q, k, v)
+    g_plain = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_remat, g_plain, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-7, err_msg=f"d{name}")

@@ -27,15 +27,18 @@ def test_unet_shapes_and_grad():
     x = jnp.ones((2, 8, 8, 4))
     t = jnp.array([3, 7])
     ctx = jnp.ones((2, 5, 16))
-    params = m.init(jax.random.key(0), x, t, ctx)
-    out = m.apply(params, x, t, ctx)
+    # jit everything: one cached executable instead of hundreds of eager
+    # dispatches (compile cost dominates this 1-core host, conftest pins a
+    # persistent compile cache)
+    params = jax.jit(m.init)(jax.random.key(0), x, t, ctx)
+    out = jax.jit(m.apply)(params, x, t, ctx)
     assert out.shape == (2, 8, 8, 4)
     assert out.dtype == jnp.float32
 
     def loss(p):
         return jnp.mean(m.apply(p, x, t, ctx) ** 2)
 
-    g = jax.grad(loss)(params)
+    g = jax.jit(jax.grad(loss))(params)
     norms = [float(jnp.linalg.norm(l)) for l in jax.tree.leaves(g)]
     assert all(np.isfinite(norms))
     assert any(n > 0 for n in norms)
@@ -47,9 +50,9 @@ def test_unet_remat_matches():
     x = jnp.ones((1, 8, 8, 4)) * 0.3
     t = jnp.array([5])
     ctx = jnp.ones((1, 5, 16)) * 0.1
-    params = m.init(jax.random.key(0), x, t, ctx)
-    a = m.apply(params, x, t, ctx)
-    b = mr.apply(params, x, t, ctx)
+    params = jax.jit(m.init)(jax.random.key(0), x, t, ctx)
+    a = jax.jit(m.apply)(params, x, t, ctx)
+    b = jax.jit(mr.apply)(params, x, t, ctx)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
