@@ -21,6 +21,7 @@ from typing import Any, Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from diffusion_tpu.ops.attention import multi_head_attention
 
@@ -122,6 +123,10 @@ class ResnetBlock(nn.Module):
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
+        # named so remat policies can save conv outputs: convs are MXU work
+        # but lax.conv is not a dot_general, so the dots policy alone would
+        # recompute every conv in the backward pass (unet.py opts in)
+        h = checkpoint_name(h, "conv_out")
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
@@ -132,6 +137,7 @@ class ResnetBlock(nn.Module):
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
+        h = checkpoint_name(h, "conv_out")
         if residual.shape[-1] != self.out_channels:
             residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                                name="conv_shortcut")(residual)

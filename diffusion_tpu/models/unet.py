@@ -19,6 +19,7 @@ Design deltas from the reference stack, for TPU:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -81,11 +82,17 @@ class UNet2DCondition(nn.Module):
                 # save MXU outputs AND the flash-attention residuals (named
                 # in ops/flash_attention.py): the Pallas kernel is not a
                 # dot, so without the name policy the O(S^2) attention
-                # forward re-runs inside the backward pass
+                # forward re-runs inside the backward pass. lax.conv is not
+                # a dot_general either — DIFFUSION_TPU_SAVE_CONVS=1 also
+                # saves conv outputs (more HBM, fewer recomputed FLOPs).
+                # measured on v5e @512px/batch 8: saving convs 25.8 -> 26.7
+                # img/s, neutral @256px/batch 24 (103 img/s both ways)
+                names = ["flash_out", "flash_lse"]
+                if os.environ.get("DIFFUSION_TPU_SAVE_CONVS", "1") == "1":
+                    names.append("conv_out")
                 policy = jax.checkpoint_policies.save_from_both_policies(
                     jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                    jax.checkpoint_policies.save_only_these_names(
-                        "flash_out", "flash_lse"))
+                    jax.checkpoint_policies.save_only_these_names(*names))
             else:
                 policy = None
             Res = nn.remat(ResnetBlock, policy=policy)
