@@ -42,6 +42,37 @@ def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
+def _xla_attention_with_lse(q, k, v):
+    """(out, lse) pair for partial-softmax merging (ring attention).
+
+    out (B,S,H,D) in q.dtype, lse (B,H,Sq) fp32 of the scaled scores."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    probs = jnp.exp(logits - lse[..., None]).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    return out, lse
+
+
+def _xla_attention_bwd_with_lse(q, k, v, out, lse, do):
+    """Backward of one KV block under a global logsumexp (see
+    flash_attention_bwd_with_lse). Pure-JAX fallback path."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(logits - lse[..., None])                     # (B,H,Sq,Sk)
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)                                  # (B,Sq,H)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p.astype(do.dtype), do)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", do, v,
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - delta.transpose(0, 2, 1)[..., None])
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds.astype(k.dtype), k) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds.astype(q.dtype), q) * scale
+    return dq, dk, dv
+
+
 def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          mask: Optional[jnp.ndarray] = None,
                          backend: Optional[str] = None) -> jnp.ndarray:

@@ -37,7 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flash_attention"]
 
-_INTERPRET = os.environ.get("DIFFUSION_TPU_PALLAS_INTERPRET", "0") == "1"
+def _interpret() -> bool:
+    # read per-call, not at import: tests toggle this after import
+    return os.environ.get("DIFFUSION_TPU_PALLAS_INTERPRET", "0") == "1"
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
@@ -176,7 +178,15 @@ def _unfold(x: jnp.ndarray, b: int, h: int) -> jnp.ndarray:
     return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
-def _fwd(qf, kf, vf) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _struct(shape, dtype, vma):
+    """ShapeDtypeStruct that typechecks inside shard_map (vma = the manual
+    mesh axes the output varies over, e.g. ring attention's ring axis)."""
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _fwd(qf, kf, vf, vma=()) -> Tuple[jnp.ndarray, jnp.ndarray]:
     bh, sq, d = qf.shape
     skv = kf.shape[1]
     scale = d ** -0.5
@@ -200,20 +210,20 @@ def _fwd(qf, kf, vf) -> Tuple[jnp.ndarray, jnp.ndarray]:
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, sq, d), qf.dtype),
-            jax.ShapeDtypeStruct((bh, 1, sq), jnp.float32),
+            _struct((bh, sq, d), qf.dtype, vma),
+            _struct((bh, 1, sq), jnp.float32, vma),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, d), jnp.float32),      # o_acc
             pltpu.VMEM((bq, 128), jnp.float32),    # running max
             pltpu.VMEM((bq, 128), jnp.float32),    # running normalizer
         ],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(qf, kf, vf)
     return out, lse
 
 
-def _bwd(qf, kf, vf, out, lse, do):
+def _bwd(qf, kf, vf, out, lse, do, vma=()):
     bh, sq, d = qf.shape
     skv = kf.shape[1]
     scale = d ** -0.5
@@ -242,9 +252,9 @@ def _bwd(qf, kf, vf, out, lse, do):
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda bi, qi, ki: (bi, qi, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, sq, d), qf.dtype),
+        out_shape=_struct((bh, sq, d), qf.dtype, vma),
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(qf, kf, vf, do, lse, delta)
 
     q_steps = sq // bq
@@ -272,14 +282,14 @@ def _bwd(qf, kf, vf, out, lse, do):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, skv, d), kf.dtype),
-            jax.ShapeDtypeStruct((bh, skv, d), vf.dtype),
+            _struct((bh, skv, d), kf.dtype, vma),
+            _struct((bh, skv, d), vf.dtype, vma),
         ],
         scratch_shapes=[
             pltpu.VMEM((bk, d), jnp.float32),      # dk_acc
             pltpu.VMEM((bk, d), jnp.float32),      # dv_acc
         ],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
     )(qf, kf, vf, do, lse, delta)
     return dq, dk, dv
 
@@ -300,6 +310,46 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
         return _xla_attention(q, k, v, None)
     out, _ = _fwd(_fold(q), _fold(k), _fold(v))
     return _unfold(out, b, h)
+
+
+def flash_attention_with_lse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                             vma=()) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Attention plus the per-query logsumexp of the scaled scores.
+
+    Returns (out (B,S,H,D), lse (B,H,S)). The lse makes partial-softmax
+    results mergeable (logaddexp combine), which is what ring attention
+    (ops/ring_attention.py) needs to stream KV blocks between devices.
+    NOT differentiable (raw kernel call) — ring_attention wraps it in its
+    own custom VJP. Falls back to an XLA path off-TPU / on ragged lengths.
+    """
+    b, _, h, _ = q.shape
+    if not _kernel_usable(q, k):
+        from diffusion_tpu.ops.attention import _xla_attention_with_lse
+        return _xla_attention_with_lse(q, k, v)
+    out, lse = _fwd(_fold(q), _fold(k), _fold(v), vma=vma)
+    return _unfold(out, b, h), lse[:, 0, :].reshape(b, h, -1)
+
+
+def flash_attention_bwd_with_lse(q, k, v, out, lse, do, vma=()):
+    """Per-block backward given a (possibly global) logsumexp: the kernels
+    recompute p = exp(s - lse), so any lse covering a superset of this KV
+    block yields the correct partial gradients (ring attention's bwd pass).
+
+    Shapes as flash_attention_with_lse; returns (dq, dk, dv)."""
+    b, _, h, _ = q.shape
+    lse_f = lse.reshape(b * h, 1, -1)
+    if not _kernel_usable(q, k):
+        from diffusion_tpu.ops.attention import _xla_attention_bwd_with_lse
+        return _xla_attention_bwd_with_lse(q, k, v, out, lse, do)
+    dq, dk, dv = _bwd(_fold(q), _fold(k), _fold(v), _fold(out), lse_f,
+                      _fold(do), vma=vma)
+    return _unfold(dq, b, h), _unfold(dk, b, h), _unfold(dv, b, h)
+
+
+def _kernel_usable(q: jnp.ndarray, k: jnp.ndarray) -> bool:
+    if not _tiles_ok(q, k):
+        return False
+    return jax.default_backend() == "tpu" or _interpret()
 
 
 def _flash_fwd_rule(q, k, v):
