@@ -51,6 +51,10 @@ def step_bench() -> dict:
     # elementwise). On a pod the fsdp axis shards the optimizer state (the
     # reference's SHARD_GRAD_OP) and neither trick is needed.
     remat = _os.environ.get("BENCH_REMAT", "1") == "1"
+    # BENCH_ONLINE=1: the non-precomputed path — fp16 VAE+CLIP encode inside
+    # the jitted step (reference README.md:52 prices this at 1.4x the
+    # precomputed cost; this measures OUR overhead factor)
+    online = _os.environ.get("BENCH_ONLINE", "0") == "1"
     model = stable_diffusion_2(pretrained=False, precomputed_latents=True,
                                encode_latents_in_fp16=True, fsdp=False,
                                remat=remat)
@@ -63,6 +67,13 @@ def step_bench() -> dict:
         return model.unet.init(r, jnp.zeros((1, lat, lat, 4)),
                                jnp.zeros((1,), jnp.int32),
                                jnp.zeros((1, 77, 1024)))
+
+    def init_frozen(r):
+        return {
+            "vae": model.vae.init(r, jnp.zeros((1, res, res, 3)), r),
+            "text_encoder": model.text_encoder.init(
+                r, jnp.zeros((1, 77), jnp.int32)),
+        }
     plain = _os.environ.get("BENCH_PLAIN", "0") == "1" or n_dev == 1
     if plain:
         # single chip: skip mesh shardings entirely (plain single-device
@@ -72,6 +83,7 @@ def step_bench() -> dict:
         abstract = jax.eval_shape(init_unet, rng)
         p_sh = param_shardings(abstract, mesh, shard=False)
         params = jax.jit(init_unet, out_shardings=p_sh)(rng)
+    frozen = jax.jit(init_frozen)(rng) if online else {}
 
     mu_bf16 = _os.environ.get("BENCH_MU_BF16", "1") == "1"
     tx = optax.adamw(1e-4, weight_decay=0.01,
@@ -88,6 +100,17 @@ def step_bench() -> dict:
         def loss_fn(p, batch, r):
             return model.loss_fn(p, {}, batch, r)
 
+    # online path: encoders run as their OWN jitted program feeding the same
+    # train step (two small HLOs, not one giant fused one — the frozen
+    # towers need no grad, and this matches the reference's precompute
+    # pipeline structure, reference precompute_latents.py:289-294)
+    @jax.jit
+    def encode_fn(fz, batch, r):
+        return {
+            "image_latents": model.encode_images(fz, batch["image"], r),
+            "caption_latents": model.encode_text(fz, batch["captions"]),
+        }
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(p, o, batch, r):
         loss, grads = jax.value_and_grad(loss_fn)(p, batch, r)
@@ -95,20 +118,32 @@ def step_bench() -> dict:
         p = optax.apply_updates(p, updates)
         return p, o, loss
 
-    batch = {
-        "image_latents": jnp.asarray(
-            np.random.default_rng(0).normal(size=(bsz, lat, lat, 4))
-            .astype(np.float16), jnp.bfloat16),
-        "caption_latents": jnp.asarray(
-            np.random.default_rng(1).normal(size=(bsz, 77, 1024))
-            .astype(np.float16), jnp.bfloat16),
-    }
+    if online:
+        batch = {
+            "image": jnp.asarray(np.random.default_rng(0).uniform(
+                -1, 1, (bsz, res, res, 3)).astype(np.float32)),
+            "captions": jnp.asarray(np.random.default_rng(1).integers(
+                0, 49408, (bsz, 77)).astype(np.int32)),
+        }
+    else:
+        batch = {
+            "image_latents": jnp.asarray(
+                np.random.default_rng(0).normal(size=(bsz, lat, lat, 4))
+                .astype(np.float16), jnp.bfloat16),
+            "caption_latents": jnp.asarray(
+                np.random.default_rng(1).normal(size=(bsz, 77, 1024))
+                .astype(np.float16), jnp.bfloat16),
+        }
     if not plain:
         b_sh = batch_sharding(mesh)
         batch = {k: jax.device_put(v, b_sh) for k, v in batch.items()}
 
+    def run_step(p, o, r):
+        b = encode_fn(frozen, batch, r) if online else batch
+        return train_step(p, o, b, r)
+
     # warmup / compile
-    params, opt_state, loss = train_step(params, opt_state, batch, rng)
+    params, opt_state, loss = run_step(params, opt_state, rng)
     float(np.asarray(loss))
 
     steps = 10
@@ -123,8 +158,8 @@ def step_bench() -> dict:
         t0 = time.perf_counter()
         prev = None
         for i in range(steps):
-            params, opt_state, loss = train_step(params, opt_state, batch,
-                                                 jax.random.fold_in(rng, i))
+            params, opt_state, loss = run_step(params, opt_state,
+                                               jax.random.fold_in(rng, i))
             if prev is not None:
                 float(np.asarray(prev))
             prev = loss
@@ -137,8 +172,8 @@ def step_bench() -> dict:
         times = []
         for i in range(steps):
             t0 = time.perf_counter()
-            params, opt_state, loss = train_step(params, opt_state, batch,
-                                                 jax.random.fold_in(rng, i))
+            params, opt_state, loss = run_step(params, opt_state,
+                                               jax.random.fold_in(rng, i))
             float(np.asarray(loss))
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
@@ -149,9 +184,10 @@ def step_bench() -> dict:
     # 512px numbers are ~3.9x lower (README.md:54-60) -> scaled target
     baseline_per_chip = (2300.0 if res == 256 else 2300.0 / 3.85) / 32.0
     # release the step-bench device state before the e2e bench allocates
-    jax.tree.map(lambda x: x.delete(), (params, opt_state, batch))
+    jax.tree.map(lambda x: x.delete(), (params, opt_state, batch, frozen))
+    tag = "online_" if online else ""
     return {
-        "metric": f"unet_train_throughput_{res}px_per_chip",
+        "metric": f"unet_train_{tag}throughput_{res}px_per_chip",
         "value": round(per_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(per_chip / baseline_per_chip, 4),
