@@ -35,12 +35,15 @@ from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention"]
+__all__ = ["flash_attention", "flash_attention_with_lse",
+           "flash_attention_bwd_with_lse"]
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
 
 def _interpret() -> bool:
     # read per-call, not at import: tests toggle this after import
     return os.environ.get("DIFFUSION_TPU_PALLAS_INTERPRET", "0") == "1"
-_NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 def _block(s: int, cap: int = 512) -> int:
