@@ -17,8 +17,24 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
 import time
+
+
+def default_batch_per_chip(res: int) -> int:
+    """Measured single-chip sweet spots (see step_bench memory notes)."""
+    return int(float(os.environ.get(
+        "BENCH_BATCH_PER_CHIP", {256: "24", 512: "8"}.get(res, "2"))))
+
+
+def baseline_per_chip(res: int) -> float:
+    """v4-32 north-star (BASELINE.json): 2300 img/s @256; the reference's
+    512px numbers are ~3.9x lower (README.md:54-60). 1024px has NO
+    reference number (beyond-reference capability) — scale by another
+    3.85x so vs_baseline stays an honest extrapolation."""
+    scale = {256: 1.0, 512: 3.85}.get(res, 3.85 * 3.85)
+    return 2300.0 / scale / 32.0
 
 
 def step_bench() -> dict:
@@ -40,8 +56,7 @@ def step_bench() -> dict:
     # batch 24/chip at 256px (measured fastest that fits: 114.7 img/s vs
     # 100.4 at the reference's 16/chip); at 512px batch 8 is the measured
     # sweet spot (23.8 img/s vs 19.2 at 4, 23.0 at 12 — paging beyond 8)
-    per_chip_batch = int(float(_os.environ.get(
-        "BENCH_BATCH_PER_CHIP", "24" if res == 256 else "8")))
+    per_chip_batch = default_batch_per_chip(res)
     bsz = per_chip_batch * n_dev
 
     # Memory budget on one 16 GB chip: fp32 params 3.5 GB + grads 3.5 GB +
@@ -180,9 +195,7 @@ def step_bench() -> dict:
 
     img_per_sec = bsz / dt
     per_chip = img_per_sec / n_dev
-    # v4-32 north-star (BASELINE.json): 2300 img/s @256; the reference's
-    # 512px numbers are ~3.9x lower (README.md:54-60) -> scaled target
-    baseline_per_chip = (2300.0 if res == 256 else 2300.0 / 3.85) / 32.0
+    baseline = baseline_per_chip(res)
     # release the step-bench device state before the e2e bench allocates
     jax.tree.map(lambda x: x.delete(), (params, opt_state, batch, frozen))
     tag = "online_" if online else ""
@@ -190,7 +203,7 @@ def step_bench() -> dict:
         "metric": f"unet_train_{tag}throughput_{res}px_per_chip",
         "value": round(per_chip, 2),
         "unit": "img/s/chip",
-        "vs_baseline": round(per_chip / baseline_per_chip, 4),
+        "vs_baseline": round(per_chip / baseline, 4),
         "total_img_per_sec": round(img_per_sec, 2),
         "n_devices": n_dev,
         "batch_per_chip": per_chip_batch,
@@ -246,8 +259,7 @@ def e2e_bench(res: int, steps: int = 12, skip: int = 2) -> dict:
     from diffusion_tpu.train.train import build_trainer
 
     n_dev = jax.device_count()
-    per_chip_batch = int(float(os.environ.get(
-        "BENCH_BATCH_PER_CHIP", "24" if res == 256 else "8")))
+    per_chip_batch = default_batch_per_chip(res)
     bsz = per_chip_batch * n_dev
     data_dir = os.path.join(tempfile.gettempdir(),
                             f"diffusion_tpu_bench_mds_{res}")
@@ -313,7 +325,10 @@ def e2e_bench(res: int, steps: int = 12, skip: int = 2) -> dict:
     total = time.perf_counter() - t0
     trainer.close()
     timed = probe.times[skip:]
-    dt = float(np.median(timed)) if timed else float("nan")
+    if not timed:
+        # NaN would make the one-line output invalid JSON
+        raise RuntimeError(f"e2e bench timed 0 batches (ran {len(probe.times)})")
+    dt = float(np.median(timed))
     e2e = bsz / dt
     return {
         "e2e_img_per_sec": round(e2e, 2),
@@ -343,10 +358,8 @@ def main() -> None:
             result["metric"] = (
                 f"trainer_e2e_throughput_{res}px_per_chip")
             result["value"] = e2e["e2e_per_chip"]
-            baseline_per_chip = (2300.0 if res == 256
-                                 else 2300.0 / 3.85) / 32.0
             result["vs_baseline"] = round(
-                e2e["e2e_per_chip"] / baseline_per_chip, 4)
+                e2e["e2e_per_chip"] / baseline_per_chip(res), 4)
             result["total_img_per_sec"] = e2e["e2e_img_per_sec"]
         except Exception as exc:  # noqa: BLE001 — headline number must survive
             result["e2e_error"] = f"{type(exc).__name__}: {exc}"[:200]

@@ -38,8 +38,9 @@ _ENV_ALLOW_RANDOM = "DIFFUSION_TPU_ALLOW_RANDOM_TOWERS"
 
 def resolve_weights_path(path: Optional[str], env_var: str) -> Optional[str]:
     """Resolve a weights location to a local file, downloading object-store
-    URLs (s3://, gs://) into a cache dir. Returns None when nothing is set
-    or the local path does not exist."""
+    URLs (s3://, gs://) into a cache dir. Returns None only when nothing is
+    configured; an explicitly configured path that does not exist raises
+    (silent fallback to random towers would hide a typo'd path)."""
     path = path or os.environ.get(env_var)
     if not path:
         return None
@@ -51,7 +52,11 @@ def resolve_weights_path(path: Optional[str], env_var: str) -> Optional[str]:
         if not os.path.exists(local):
             ObjectStore().download(path, local)
         return local
-    return path if os.path.exists(path) else None
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"metric tower weights path {path!r} (from arg or {env_var}) "
+            f"does not exist")
+    return path
 
 
 def _random_allowed(allow_random_weights: bool) -> bool:

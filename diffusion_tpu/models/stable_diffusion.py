@@ -109,6 +109,13 @@ class StableDiffusion:
     def encode_images(self, frozen: Dict, images: jnp.ndarray,
                       rng: jax.Array) -> jnp.ndarray:
         """VAE-encode to scaled latents (reference :160-174)."""
+        if "vae" not in frozen:
+            raise RuntimeError(
+                "batch carries raw images but the frozen VAE/CLIP towers "
+                "were not initialized (init_frozen_towers resolved False — "
+                "precomputed_latents=True with no guidance scales). Either "
+                "feed precomputed-latent batches to every dataloader "
+                "(including eval) or set init_frozen_towers=True.")
         posterior = self.vae.apply(frozen["vae"], images, method=self.vae.encode)
         return posterior.sample(rng) * self.latent_scale
 

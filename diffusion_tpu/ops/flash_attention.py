@@ -226,14 +226,15 @@ def _fwd(qf, kf, vf, vma=()) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return out, lse
 
 
-def _bwd(qf, kf, vf, out, lse, do, vma=()):
+def _bwd(qf, kf, vf, out, lse, do, vma=(), delta=None):
     bh, sq, d = qf.shape
     skv = kf.shape[1]
     scale = d ** -0.5
     bq, bk = _block_q(sq), _block_kv(skv)
-    # delta_i = rowsum(dO_i * O_i); cheap XLA reduction, shape (BH, 1, Sq)
-    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1)[:, None, :]
+    if delta is None:
+        # delta_i = rowsum(dO_i * O_i); cheap XLA reduction, (BH, 1, Sq)
+        delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                        axis=-1)[:, None, :]
 
     kv_steps = skv // bk
     dq = pl.pallas_call(
@@ -333,19 +334,22 @@ def flash_attention_with_lse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return _unfold(out, b, h), lse[:, 0, :].reshape(b, h, -1)
 
 
-def flash_attention_bwd_with_lse(q, k, v, out, lse, do, vma=()):
+def flash_attention_bwd_with_lse(q, k, v, out, lse, do, vma=(), delta=None):
     """Per-block backward given a (possibly global) logsumexp: the kernels
     recompute p = exp(s - lse), so any lse covering a superset of this KV
     block yields the correct partial gradients (ring attention's bwd pass).
 
-    Shapes as flash_attention_with_lse; returns (dq, dk, dv)."""
+    Shapes as flash_attention_with_lse; returns (dq, dk, dv). `delta`
+    ((B,H,Sq) rowsum(do*out)) is loop-invariant across KV blocks — ring
+    attention computes it once and passes it to every step."""
     b, _, h, _ = q.shape
     lse_f = lse.reshape(b * h, 1, -1)
     if not _kernel_usable(q, k):
         from diffusion_tpu.ops.attention import _xla_attention_bwd_with_lse
-        return _xla_attention_bwd_with_lse(q, k, v, out, lse, do)
+        return _xla_attention_bwd_with_lse(q, k, v, out, lse, do, delta)
+    delta_f = None if delta is None else delta.reshape(b * h, 1, -1)
     dq, dk, dv = _bwd(_fold(q), _fold(k), _fold(v), _fold(out), lse_f,
-                      _fold(do), vma=vma)
+                      _fold(do), vma=vma, delta=delta_f)
     return _unfold(dq, b, h), _unfold(dk, b, h), _unfold(dv, b, h)
 
 

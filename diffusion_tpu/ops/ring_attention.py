@@ -117,10 +117,14 @@ def _ring_attention_bwd(axis_name, res, g):
     dk0 = jnp.zeros_like(k, jnp.float32)
     dv0 = jnp.zeros_like(v, jnp.float32)
 
+    # rowsum(do*out) is identical for every KV block: compute once, not n×
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1).transpose(0, 2, 1)               # (B,H,Sq)
+
     def step(carry, _):
         dq, dk, dv, kb, vb = carry
         dq_b, dk_b, dv_b = flash_attention_bwd_with_lse(
-            q, kb, vb, out, lse, g, vma=(axis_name,))
+            q, kb, vb, out, lse, g, vma=(axis_name,), delta=delta)
         dq = dq + dq_b.astype(jnp.float32)
         dk = dk + dk_b.astype(jnp.float32)
         dv = dv + dv_b.astype(jnp.float32)

@@ -61,7 +61,11 @@ def save_checkpoint(save_folder: str, batch: int, train_state: Any,
                 os.remove(meta_path)
             if os.path.exists(state_path):
                 shutil.rmtree(state_path)
-        dist.barrier("ckpt_cleanup")
+    # barrier UNCONDITIONALLY: gating it on a per-host exists() check is
+    # racy on shared filesystems (host 1 can observe the dir only after
+    # host 0 deleted it, skip the barrier, and enter orbax's coordinated
+    # save while host 0 still waits -> mismatched collectives)
+    dist.barrier("ckpt_cleanup")
     ckptr = _checkpointer()
     ckptr.save(os.path.abspath(state_path), train_state)
     ckptr.wait_until_finished()

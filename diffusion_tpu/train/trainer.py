@@ -346,11 +346,19 @@ class Trainer:
             self.engine.run(Event.EPOCH_START, state, logger)
             epoch_had_batches = False
             prev_loss = None
-            for batch, host_n in self._device_batches():
+            batches = self._device_batches()
+            while True:
+                # check max_batches BEFORE pulling: the generator's work per
+                # pull is a full host decode + device transfer, and Composer
+                # fires BEFORE_DATALOADER before the dataloader __next__
                 if state.timestamp.batch >= self.max_batches:
                     break
-                epoch_had_batches = True
                 self.engine.run(Event.BEFORE_DATALOADER, state, logger)
+                try:
+                    batch, host_n = next(batches)
+                except StopIteration:
+                    break
+                epoch_had_batches = True
                 samples = host_n * jax.process_count()
                 state.batch = batch
                 self.engine.run(Event.AFTER_DATALOADER, state, logger)
