@@ -1,18 +1,23 @@
 """Capture diffusers golden fixtures for UNet/VAE forward parity.
 
-Run this in an environment WITH diffusers installed (e.g. the reference's
-image) — this repo's image is zero-egress and has no diffusers, so the
-fixtures are captured once elsewhere and committed under tests/fixtures/.
+With diffusers installed (e.g. the reference's image) the goldens come from
+the real diffusers networks. Without it (this zero-egress image), they come
+from tools/torch_ref.py — a faithful torch reimplementation of the diffusers
+forward semantics with identical state_dict naming (the same technique as
+tools/make_metric_goldens.py). Either way the fixture carries the torch
+state_dict (prefixed 'w:'), the inputs, the expected outputs, and a
+`source` tag recording which implementation produced it; re-run in a
+diffusers environment to upgrade the provenance without touching the test.
+
 The specs below are the single source of truth for the tiny geometries:
 tests/test_hf_parity.py builds our Flax models from the same spec, so the
 fixture and the test can never drift apart.
 
-Usage (in a diffusers env):
+Usage:
     python tools/capture_goldens.py --out tests/fixtures/
 
-Produces unet_golden.npz / vae_golden.npz, each carrying the torch
-state_dict tensors (prefixed 'w:'), the inputs, and the expected outputs —
-all float32, NCHW (the test transposes to our NHWC).
+Produces unet_golden.npz / vae_golden.npz; all arrays float32, NCHW (the
+test transposes to our NHWC).
 """
 
 from __future__ import annotations
@@ -57,6 +62,29 @@ def vae_config_from_spec(spec: dict):
     return VAEConfig(**spec)
 
 
+def _unet_impl(spec: dict):
+    """Real diffusers when available, else the faithful torch reimpl."""
+    try:
+        return _diffusers_unet(spec), "diffusers"
+    except ImportError:
+        try:
+            from tools.torch_ref import TorchUNet2DCondition
+        except ImportError:  # run as a script from tools/
+            from torch_ref import TorchUNet2DCondition
+        return TorchUNet2DCondition(spec), "torch_ref"
+
+
+def _vae_impl(spec: dict):
+    try:
+        return _diffusers_vae(spec), "diffusers"
+    except ImportError:
+        try:
+            from tools.torch_ref import TorchAutoencoderKL
+        except ImportError:
+            from torch_ref import TorchAutoencoderKL
+        return TorchAutoencoderKL(spec), "torch_ref"
+
+
 def _diffusers_unet(spec: dict):
     from diffusers import UNet2DConditionModel
     has = spec["block_has_attention"]
@@ -96,7 +124,8 @@ def capture_unet(out_dir: str) -> str:
     import torch
 
     torch.manual_seed(0)
-    unet = _diffusers_unet(TINY_UNET_SPEC).eval()
+    unet, source = _unet_impl(TINY_UNET_SPEC)
+    unet = unet.eval()
     rng = np.random.default_rng(0)
     sample = rng.normal(size=(2, 4, 8, 8)).astype(np.float32)
     timesteps = np.asarray([10, 500], np.int64)
@@ -105,10 +134,14 @@ def capture_unet(out_dir: str) -> str:
     with torch.no_grad():
         expected = unet(torch.from_numpy(sample),
                         torch.from_numpy(timesteps),
-                        torch.from_numpy(ehs)).sample.numpy()
+                        torch.from_numpy(ehs))
+        if hasattr(expected, "sample"):
+            expected = expected.sample
+        expected = expected.numpy()
     blob = {f"w:{k}": v.detach().numpy() for k, v in unet.state_dict().items()}
     blob.update(sample=sample, timesteps=timesteps,
-                encoder_hidden_states=ehs, expected=expected)
+                encoder_hidden_states=ehs, expected=expected,
+                source=np.asarray(source))
     path = os.path.join(out_dir, "unet_golden.npz")
     np.savez_compressed(path, **blob)
     return path
@@ -118,17 +151,22 @@ def capture_vae(out_dir: str) -> str:
     import torch
 
     torch.manual_seed(0)
-    vae = _diffusers_vae(TINY_VAE_SPEC).eval()
+    vae, source = _vae_impl(TINY_VAE_SPEC)
+    vae = vae.eval()
     rng = np.random.default_rng(0)
     image = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
     latent = rng.normal(size=(1, 4, 4, 4)).astype(np.float32)  # 32px / 2^3
     with torch.no_grad():
-        posterior = vae.encode(torch.from_numpy(image)).latent_dist
-        latent_mean = posterior.mean.numpy()
-        decoded = vae.decode(torch.from_numpy(latent)).sample.numpy()
+        if hasattr(vae, "encode_mean"):  # torch_ref
+            latent_mean = vae.encode_mean(torch.from_numpy(image)).numpy()
+            decoded = vae.decode(torch.from_numpy(latent)).numpy()
+        else:  # diffusers
+            posterior = vae.encode(torch.from_numpy(image)).latent_dist
+            latent_mean = posterior.mean.numpy()
+            decoded = vae.decode(torch.from_numpy(latent)).sample.numpy()
     blob = {f"w:{k}": v.detach().numpy() for k, v in vae.state_dict().items()}
     blob.update(image=image, latent=latent, latent_mean=latent_mean,
-                decoded=decoded)
+                decoded=decoded, source=np.asarray(source))
     path = os.path.join(out_dir, "vae_golden.npz")
     np.savez_compressed(path, **blob)
     return path
