@@ -42,15 +42,26 @@ def image_to_base64_png(image01: np.ndarray) -> str:
 class StableDiffusionInference:
     def __init__(self, checkpoint_path: Optional[str] = None,
                  model_name: Optional[str] = None,
+                 pretrained: bool = False,
                  default_size: int = 512, seed: int = 0,
                  builder: Any = None, **model_kwargs: Any):
         builder = builder or stable_diffusion_2
-        self.model = builder(model_name=model_name, pretrained=False,
+        self.model = builder(model_name=model_name, pretrained=pretrained,
                              fsdp=False, **model_kwargs)
         self.default_size = default_size
         self.seed = seed
-        params, frozen = self.model.init_params(jax.random.key(seed),
-                                                image_size=default_size)
+        if getattr(self.model, "pretrained_path", None):
+            # serve the ported HF weights directly (reference inference
+            # builds un-pretrained and loads a training checkpoint,
+            # inference_model.py:28-41; both paths work here)
+            from diffusion_tpu.models.pretrained import load_pretrained_params
+            params, frozen = load_pretrained_params(
+                self.model, image_size=default_size)
+            params = jax.device_put(params)
+            frozen = jax.device_put(frozen)
+        else:
+            params, frozen = self.model.init_params(jax.random.key(seed),
+                                                    image_size=default_size)
         if checkpoint_path:
             from diffusion_tpu.train.checkpoint import load_checkpoint
             abstract = jax.tree.map(
@@ -62,12 +73,20 @@ class StableDiffusionInference:
                     opt_state=None, ema_params=None))
                 restored, _ = load_checkpoint(checkpoint_path, abs_state)
                 params = restored.params
-            except Exception:
-                # weights-only checkpoints store the bare param pytree
+            except Exception as train_state_err:
+                # weights-only checkpoints store the bare param pytree; if
+                # that ALSO fails, surface both errors instead of silently
+                # serving random weights
                 import orbax.checkpoint as ocp
                 import os
-                restored = ocp.StandardCheckpointer().restore(
-                    os.path.abspath(checkpoint_path), abstract)
+                try:
+                    restored = ocp.StandardCheckpointer().restore(
+                        os.path.abspath(checkpoint_path), abstract)
+                except Exception as weights_err:
+                    raise RuntimeError(
+                        f"checkpoint {checkpoint_path} is neither a trainer "
+                        f"checkpoint ({train_state_err}) nor a weights-only "
+                        f"param pytree ({weights_err})") from weights_err
                 params = restored
         self.params = params
         self.frozen = frozen

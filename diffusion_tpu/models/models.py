@@ -9,9 +9,11 @@ diffusion/models/models.py): `stable_diffusion_2` (ref :28-112),
   precision (fp16 autocast is a CUDA idiom; bf16 needs no loss scaling).
 - xformers enablement (ref :107-111) is replaced by the Pallas flash-attention
   dispatch, on by default on TPU (ops/attention.py).
-- `pretrained` loads from a local HF checkpoint directory via
-  models/port_hf.py instead of the network hub (this environment is
-  zero-egress); pretrained=False (the production configs' setting,
+- `pretrained` loads from a local checkpoint directory instead of the
+  network hub (this environment is zero-egress): either tools/port_weights.py
+  msgpack output or raw HF safetensors subdirs, ported through
+  models/port_hf.py and consumed by models/pretrained.py at Trainer/
+  inference init. pretrained=False (the production configs' setting,
   yamls/hydra-yamls/SD-2-base-256.yaml:16) initializes from config geometry.
 - metric construction (`val_metrics` names, per-guidance-scale fan-out) is
   resolved by the trainer's evaluator (metrics/), not baked into the model.
@@ -102,10 +104,14 @@ def stable_diffusion_2(
 
 def stable_diffusion_tiny(val_guidance_scales: Optional[List[float]] = None,
                           precomputed_latents: bool = False,
+                          model_name: Optional[str] = None,
+                          pretrained: bool = False,
                           **_: Any) -> StableDiffusion:
     """Tiny-geometry StableDiffusion for smoke tests / CI / CPU runs —
     real architecture, small channels (the reference's own test strategy,
-    tests/test_model.py, applied as a first-class builder)."""
+    tests/test_model.py, applied as a first-class builder). Supports the
+    same `pretrained`/`model_name` contract as `stable_diffusion_2`, so the
+    pretrained-loading path is testable end-to-end at tiny geometry."""
     from diffusion_tpu.models.clip import CLIPTextConfig
     from diffusion_tpu.models.unet import UNetConfig
     from diffusion_tpu.models.vae import VAEConfig
@@ -118,11 +124,16 @@ def stable_diffusion_tiny(val_guidance_scales: Optional[List[float]] = None,
     text_encoder = CLIPTextModel(CLIPTextConfig(
         vocab_size=514, hidden_size=32, intermediate_size=64,
         num_hidden_layers=2, num_attention_heads=2))
+    if pretrained and not (model_name and os.path.isdir(model_name)):
+        raise FileNotFoundError(
+            "pretrained=True requires model_name to be a local checkpoint "
+            "directory (no network in this environment)")
     return StableDiffusion(
         unet=unet, vae=vae, text_encoder=text_encoder,
         tokenizer=tiny_tokenizer(), noise_scheduler=DDPMScheduler(),
         inference_scheduler=DDIMScheduler(),
         precomputed_latents=precomputed_latents,
+        pretrained_path=model_name if pretrained else None,
         val_guidance_scales=tuple(val_guidance_scales or ()), fsdp=True)
 
 

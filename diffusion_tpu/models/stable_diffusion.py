@@ -65,6 +65,9 @@ class StableDiffusion:
     train_metric_names: Tuple[str, ...] = ("MeanSquaredError",)
     val_metric_names: Tuple[str, ...] = ("MeanSquaredError",)
     fsdp: bool = True
+    # When set, Trainer init and StableDiffusionInference load ported HF
+    # weights from this directory via models/pretrained.py instead of
+    # random-initializing (reference models.py:74-89 from_pretrained).
     pretrained_path: Optional[str] = None
     # generation-metric tower weights (.npz from tools/port_weights.py;
     # local path or s3://gs:// URL). Random towers are refused unless

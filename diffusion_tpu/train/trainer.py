@@ -222,10 +222,22 @@ class Trainer:
         # single device: plain executables (identical semantics; some PJRT
         # runtimes run SPMD-annotated programs far slower)
         self._plain = mesh.size == 1
-        init_fn = jax.jit(
-            lambda r: model.init_params(r, image_size=self.image_size),
-            out_shardings=None if self._plain else (params_sh, frozen_sh))
-        params, frozen = init_fn(init_rng)
+        if getattr(model, "pretrained_path", None):
+            # pretrained=True: every host reads the ported HF weights
+            # (reference models.py:74-89 from_pretrained) and device_put
+            # shards them under the same FSDP specs a random init would get
+            from diffusion_tpu.models.pretrained import load_pretrained_params
+            params_np, frozen_np = load_pretrained_params(
+                model, image_size=self.image_size)
+            params = jax.device_put(
+                params_np, None if self._plain else params_sh)
+            frozen = jax.device_put(
+                frozen_np, None if self._plain else frozen_sh)
+        else:
+            init_fn = jax.jit(
+                lambda r: model.init_params(r, image_size=self.image_size),
+                out_shardings=None if self._plain else (params_sh, frozen_sh))
+            params, frozen = init_fn(init_rng)
         self.frozen = frozen
         self.params_shardings = params_sh
 
