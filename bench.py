@@ -343,7 +343,13 @@ def main() -> None:
 
     res = int(os.environ.get("BENCH_RES", "256"))
     result = step_bench()
-    if os.environ.get("BENCH_E2E", "1") == "1":
+    online_step = os.environ.get("BENCH_ONLINE", "0") == "1"
+    if online_step:
+        # the step bench ran the online-encode path; the e2e bench below is
+        # the precomputed path — don't let the headline silently compare
+        # across pipelines (tag the step metric instead)
+        result["metric"] = f"{result['metric']}_online"
+    if not online_step and os.environ.get("BENCH_E2E", "1") == "1":
         try:
             e2e = e2e_bench(res)
             e2e["e2e_frac_of_step"] = round(

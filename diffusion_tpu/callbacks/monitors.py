@@ -91,7 +91,8 @@ class RuntimeEstimator(Callback):
             self._max_batches = None
 
     def batch_end(self, state, logger):
-        self.window.append(state.batch_wct)
+        if state.batch_wct > 0:  # 0 marks the compile-contaminated first batch
+            self.window.append(state.batch_wct)
         if not self._max_batches or len(self.window) < 2:
             return
         per_batch = sum(self.window) / len(self.window)

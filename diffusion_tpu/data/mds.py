@@ -108,6 +108,9 @@ class MDSWriter:
         self._samples: List[bytes] = []
         self._bytes = 0
         self._shards: List[dict] = []
+        # remote index refresh cadence (shards between re-uploads)
+        self.index_upload_interval = 8
+        self._shards_since_index = 0
 
     def write(self, sample: Dict[str, Any]) -> None:
         var_sizes: List[int] = []
@@ -154,6 +157,23 @@ class MDSWriter:
         self._samples, self._bytes = [], 0
         if self._pool is not None:
             self._uploads.append(self._pool.submit(self._upload, basename))
+            # drain finished uploads NOW so a failed upload surfaces on the
+            # next shard, not days later at finish(); and refresh the
+            # remote index every few shards so a crash mid-run still
+            # leaves a loadable (if slightly stale) remote dataset
+            pending = []
+            for fut in self._uploads:
+                if fut.done():
+                    fut.result()  # raises if the upload failed
+                else:
+                    pending.append(fut)
+            self._uploads = pending
+            self._shards_since_index += 1
+            if self._shards_since_index >= self.index_upload_interval:
+                self._shards_since_index = 0
+                self._write_index()
+                self._uploads.append(
+                    self._pool.submit(self._upload, "index.json"))
 
     def _upload(self, basename: str) -> None:
         from diffusion_tpu.data.object_store import ObjectStore
@@ -162,10 +182,13 @@ class MDSWriter:
         if not self.keep_local and basename != "index.json":
             os.remove(local)
 
-    def finish(self) -> None:
-        self._flush_shard()
+    def _write_index(self) -> None:
         with open(os.path.join(self.out, "index.json"), "w") as f:
             json.dump({"version": 2, "shards": self._shards}, f)
+
+    def finish(self) -> None:
+        self._flush_shard()
+        self._write_index()
         if self._pool is not None:
             for fut in self._uploads:
                 fut.result()  # surface upload failures to the caller

@@ -353,6 +353,7 @@ class Trainer:
         self.engine.run(Event.FIT_START, state, logger)
         fit_start = _time.monotonic()
         last_batch_end = fit_start
+        first_timed_batch = True
 
         while state.timestamp.batch < self.max_batches:
             self.engine.run(Event.EPOCH_START, state, logger)
@@ -396,7 +397,14 @@ class Trainer:
 
                 state.timestamp.to_next_batch(samples=samples)
                 now = _time.monotonic()
-                state.batch_wct = now - last_batch_end
+                if first_timed_batch:
+                    # the first delta absorbs compile/warmup: report 0 so
+                    # wct-based monitors (which skip non-positive entries)
+                    # don't see a huge outlier as step duration
+                    state.batch_wct = 0.0
+                    first_timed_batch = False
+                else:
+                    state.batch_wct = now - last_batch_end
                 last_batch_end = now
                 state.total_wct = now - fit_start
                 state.lr = float(self._base_lr) * float(
