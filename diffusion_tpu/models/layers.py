@@ -24,6 +24,7 @@ from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
 from diffusion_tpu.ops.attention import multi_head_attention
+from diffusion_tpu.parallel.sharding import constrain_batch
 
 __all__ = [
     "GroupNorm",
@@ -54,18 +55,21 @@ class GroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         orig_dtype = x.dtype
-        x = x.astype(jnp.float32)
+        # anchor both sides of the group reshapes: without explicit specs
+        # SPMD propagation wanders here (fwd AND transpose/bwd), and the
+        # partitioner falls back to replicate-then-repartition
+        x = constrain_batch(x.astype(jnp.float32))
         g = self.num_groups
         # split ONLY the channel (minormost) dim: batch/spatial dims keep
         # their shapes, so pjit shardings propagate through the reshape
         # (flattening spatial forced SPMD into full rematerialization on
         # multi-axis meshes)
-        xg = x.reshape(*x.shape[:-1], g, c // g)
+        xg = constrain_batch(x.reshape(*x.shape[:-1], g, c // g))
         reduce_axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
         mean = jnp.mean(xg, axis=reduce_axes, keepdims=True)
         var = jnp.var(xg, axis=reduce_axes, keepdims=True)
         xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        x = xg.reshape(*x.shape[:-1], c)
+        x = constrain_batch(xg.reshape(*x.shape[:-1], c))
         x = x * scale + bias
         return x.astype(orig_dtype)
 
@@ -168,11 +172,11 @@ class Attention(nn.Module):
         v = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_v")(ctx)
         b, sq = q.shape[:2]
         sk = k.shape[1]
-        q = q.reshape(b, sq, self.num_heads, self.head_dim)
-        k = k.reshape(b, sk, self.num_heads, self.head_dim)
-        v = v.reshape(b, sk, self.num_heads, self.head_dim)
+        q = constrain_batch(q.reshape(b, sq, self.num_heads, self.head_dim))
+        k = constrain_batch(k.reshape(b, sk, self.num_heads, self.head_dim))
+        v = constrain_batch(v.reshape(b, sk, self.num_heads, self.head_dim))
         o = multi_head_attention(q, k, v, mask=mask)
-        o = o.reshape(b, sq, inner)
+        o = constrain_batch(o.reshape(b, sq, inner))
         return nn.Dense(out_dim, use_bias=True, dtype=self.dtype, name="to_out")(o)
 
 
@@ -186,10 +190,15 @@ class FeedForwardGEGLU(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = self.dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        h = constrain_batch(nn.Dense(inner * 2, dtype=self.dtype,
+                                     name="proj_in")(x))
         a, b = jnp.split(h, 2, axis=-1)
         h = a * nn.gelu(b, approximate=False)  # diffusers GEGLU uses erf GELU
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+        # anchor h too: its cotangent (dout @ W^T with W fsdp-sharded) is
+        # the last place SPMD otherwise resorts to full rematerialization
+        h = constrain_batch(h)
+        return constrain_batch(
+            nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h))
 
 
 class BasicTransformerBlock(nn.Module):
@@ -235,15 +244,16 @@ class Transformer2D(nn.Module):
         residual = x
         hidden = GroupNorm(self.groups, 1e-6, dtype=self.dtype, name="norm")(x)
         if self.use_linear_projection:
-            hidden = hidden.reshape(b, h * w, c)
+            hidden = constrain_batch(hidden.reshape(b, h * w, c))
             hidden = nn.Dense(c, dtype=self.dtype, name="proj_in")(hidden)
         else:
             hidden = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(hidden)
-            hidden = hidden.reshape(b, h * w, c)
+            hidden = constrain_batch(hidden.reshape(b, h * w, c))
         for i in range(self.depth):
             hidden = BasicTransformerBlock(self.num_heads, self.head_dim,
                                            dtype=self.dtype,
                                            name=f"blocks_{i}")(hidden, context)
+            hidden = constrain_batch(hidden)
         if self.use_linear_projection:
             hidden = nn.Dense(c, dtype=self.dtype, name="proj_out")(hidden)
             hidden = hidden.reshape(b, h, w, c)

@@ -29,6 +29,7 @@ from flax import linen as nn
 from diffusion_tpu.models.layers import (Downsample, GroupNorm, ResnetBlock,
                                          TimestepEmbedding, Transformer2D,
                                          Upsample, timestep_embedding)
+from diffusion_tpu.parallel.sharding import constrain_batch
 
 __all__ = ["UNetConfig", "UNet2DCondition", "SD2_BASE_UNET", "PIXEL_UNET"]
 
@@ -112,6 +113,10 @@ class UNet2DCondition(nn.Module):
         context = encoder_hidden_states.astype(self.dtype)
         h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
                     dtype=self.dtype, name="conv_in")(sample.astype(self.dtype))
+        # batch-sharding anchors after every block keep SPMD propagation
+        # from wandering on the GroupNorm reshapes (multi-chip meshes would
+        # otherwise compile replicate-then-repartition resharding)
+        h = constrain_batch(h)
 
         num_blocks = len(cfg.block_out_channels)
         residuals = [h]
@@ -127,10 +132,12 @@ class UNet2DCondition(nn.Module):
                              use_linear_projection=cfg.use_linear_projection,
                              groups=cfg.norm_num_groups, dtype=self.dtype,
                              name=f"down_{i}_attn_{j}")(h, context)
+                h = constrain_batch(h)
                 residuals.append(h)
             if i < num_blocks - 1:
                 h = Downsample(out_ch, dtype=self.dtype,
                                name=f"down_{i}_downsample")(h)
+                h = constrain_batch(h)
                 residuals.append(h)
 
         # ---- mid
@@ -144,6 +151,7 @@ class UNet2DCondition(nn.Module):
                  name="mid_attn")(h, context)
         h = Res(mid_ch, groups=cfg.norm_num_groups, dropout=cfg.dropout,
                 dtype=self.dtype, name="mid_res_1")(h, temb)
+        h = constrain_batch(h)
 
         # ---- up path (reversed channel order; consumes 3 skips per block)
         rev_channels = list(reversed(cfg.block_out_channels))
@@ -163,9 +171,11 @@ class UNet2DCondition(nn.Module):
                              use_linear_projection=cfg.use_linear_projection,
                              groups=cfg.norm_num_groups, dtype=self.dtype,
                              name=f"up_{i}_attn_{j}")(h, context)
+                h = constrain_batch(h)
             if i < num_blocks - 1:
                 h = Upsample(out_ch, dtype=self.dtype,
                              name=f"up_{i}_upsample")(h)
+                h = constrain_batch(h)
 
         h = GroupNorm(cfg.norm_num_groups, dtype=self.dtype, name="conv_norm_out")(h)
         h = nn.silu(h)

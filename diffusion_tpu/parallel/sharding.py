@@ -16,6 +16,7 @@ design is simpler than the reference's ema.py:79-85).
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Optional
 
 import jax
@@ -23,7 +24,40 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["param_spec", "param_shardings", "replicated", "batch_spec",
-           "batch_sharding", "shard_batch"]
+           "batch_sharding", "shard_batch", "activation_mesh",
+           "constrain_batch"]
+
+# Trace-time ambient mesh for activation sharding constraints. The networks
+# are pure Flax modules with no mesh argument; the Trainer enters
+# `activation_mesh(mesh)` around step tracing so `constrain_batch` (called
+# inside the UNet) can pin activations batch-sharded. Without these anchors,
+# SPMD propagation wanders on the GroupNorm reshapes and the partitioner
+# falls back to "Involuntary full rematerialization" (replicate-then-
+# repartition) — wasted HBM + ICI on a real pod.
+_ACTIVATION_MESH: list = [None]
+
+
+@contextlib.contextmanager
+def activation_mesh(mesh: Optional[Mesh]):
+    """Enable batch-sharding constraints inside network code during tracing.
+
+    No-op when mesh is None or single-device (plain executables)."""
+    prev = _ACTIVATION_MESH[0]
+    _ACTIVATION_MESH[0] = mesh if (mesh is not None and mesh.size > 1) else None
+    try:
+        yield
+    finally:
+        _ACTIVATION_MESH[0] = prev
+
+
+def constrain_batch(x: Any) -> Any:
+    """Constrain an activation's leading (batch) dim to the ambient mesh's
+    batch sharding; identity outside an `activation_mesh` context."""
+    mesh = _ACTIVATION_MESH[0]
+    if mesh is None:
+        return x
+    spec = P(batch_spec(mesh)[0], *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def param_spec(leaf: Any, mesh: Mesh, min_size: int = 2 ** 16) -> P:

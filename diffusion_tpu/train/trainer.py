@@ -34,7 +34,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from diffusion_tpu.algorithms.ema import EMA, apply_ema, ema_smoothing_for_step
 from diffusion_tpu.parallel.mesh import create_mesh
-from diffusion_tpu.parallel.sharding import (batch_spec, make_global_batch,
+from diffusion_tpu.parallel.sharding import (activation_mesh, batch_spec,
+                                             make_global_batch,
                                              param_shardings, replicated)
 from diffusion_tpu.train import checkpoint as ckpt
 from diffusion_tpu.train.events import Algorithm, Callback, Event, EventEngine
@@ -285,6 +286,14 @@ class Trainer:
         base_key = self._base_key
 
         def step_fn(ts: TrainState, batch):
+            # trace-time context: lets the UNet pin activations to the batch
+            # sharding (parallel/sharding.py constrain_batch) so SPMD never
+            # falls back to full-rematerialization resharding on norm
+            # reshapes. Identity when mesh.size == 1.
+            with activation_mesh(None if self._plain else mesh):
+                return _step_body(ts, batch)
+
+        def _step_body(ts: TrainState, batch):
             # per-step rng derived inside the program (host dispatches no
             # per-step fold_in op; one fewer device round-trip per batch)
             rng = jax.random.fold_in(base_key, ts.step)
@@ -444,7 +453,8 @@ class Trainer:
         def eval_fn(params, batch, rng):
             batch = dict(batch)
             valid = batch.pop("_valid", None)
-            pred, target, t = model.forward(params, frozen, batch, rng)
+            with activation_mesh(None if self._plain else self.mesh):
+                pred, target, t = model.forward(params, frozen, batch, rng)
             err = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))
             per_example = jnp.mean(err, axis=tuple(range(1, err.ndim)))
             if valid is None:
