@@ -11,6 +11,7 @@ All entry points take (B, S, H, D) q/k/v — batch, sequence, heads, head_dim.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 from typing import Optional
@@ -18,9 +19,44 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["multi_head_attention", "set_default_backend"]
+__all__ = ["multi_head_attention", "set_default_backend",
+           "sequence_parallel"]
 
 _DEFAULT_BACKEND = os.environ.get("DIFFUSION_TPU_ATTN_BACKEND", "auto")
+
+# Trace-time sequence-parallel context: (mesh, axis_name, min_seq). Entered
+# by the Trainer when the mesh has an sp axis > 1 (parallel/mesh.py); long
+# unmasked self-attention then runs as ring attention under shard_map with
+# tokens sharded over `axis_name` (ops/ring_attention.py), consuming the
+# already-token-sharded activations in place (parallel/sharding.py
+# constrain_batch shards dim 1 over sp).
+_SEQ_PARALLEL: list = [None]
+
+
+@contextlib.contextmanager
+def sequence_parallel(mesh, axis_name: str = "sp", min_seq: int = 512):
+    """Enable ring-attention dispatch for self-attention with >= min_seq
+    tokens during tracing. No-op when the mesh's sp axis is 1."""
+    prev = _SEQ_PARALLEL[0]
+    active = mesh is not None and mesh.shape.get(axis_name, 1) > 1
+    _SEQ_PARALLEL[0] = (mesh, axis_name, min_seq) if active else None
+    try:
+        yield
+    finally:
+        _SEQ_PARALLEL[0] = prev
+
+
+def _ring_dispatch(q, k, v, mesh, axis_name: str):
+    from jax.sharding import PartitionSpec as P
+
+    from diffusion_tpu.ops.ring_attention import ring_attention
+
+    batch_axes = tuple(a for a in mesh.axis_names if a != axis_name)
+    spec = P(batch_axes, axis_name)
+    fn = jax.shard_map(
+        functools.partial(ring_attention, axis_name=axis_name),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+    return fn(q, k, v)
 
 
 def set_default_backend(backend: str) -> None:
@@ -87,6 +123,13 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     (the UNet's spatial self-attention: 1024 tokens @256px, 4096 @512px) and
     XLA attention otherwise (77-token text, masked, tiny shapes).
     """
+    sp = _SEQ_PARALLEL[0]
+    if sp is not None and mask is None:
+        mesh, axis_name, min_seq = sp
+        n = mesh.shape[axis_name]
+        if (q.shape[1] == k.shape[1] and q.shape[1] >= min_seq
+                and q.shape[1] % n == 0):
+            return _ring_dispatch(q, k, v, mesh, axis_name)
     backend = backend or _DEFAULT_BACKEND
     if backend == "flash" or (backend == "auto" and _flash_eligible(q, k, mask)):
         from diffusion_tpu.ops.flash_attention import flash_attention

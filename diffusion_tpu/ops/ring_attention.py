@@ -71,17 +71,19 @@ def _ring_fwd(q, k, v, axis_name: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
     n = jax.lax.psum(1, axis_name)
     perm = _ring_perm(axis_name)
     b, sq, h, _ = q.shape
-    # mark the zero carries as device-varying over the ring axis (shard_map
-    # tracks varying manual axes; a literal zeros carry is "invariant" and
-    # would not typecheck against the varying scan outputs)
-    o0 = jax.lax.pcast(jnp.zeros(q.shape, jnp.float32),
-                       (axis_name,), to="varying")
+    # mark the zero carries as device-varying over every axis q varies on
+    # (shard_map tracks varying manual axes; a literal zeros carry is
+    # "invariant" and would not typecheck against the varying scan outputs
+    # — and when the enclosing shard_map also shards batch over dcn/fsdp/
+    # data axes, the carries must vary over those too, not just the ring)
+    vma = tuple(jax.typeof(q).vma) or (axis_name,)
+    o0 = jax.lax.pcast(jnp.zeros(q.shape, jnp.float32), vma, to="varying")
     l0 = jax.lax.pcast(jnp.full((b, h, sq), -jnp.inf, jnp.float32),
-                       (axis_name,), to="varying")
+                       vma, to="varying")
 
     def step(carry, _):
         o, l, kb, vb = carry
-        o_b, l_b = flash_attention_with_lse(q, kb, vb, vma=(axis_name,))
+        o_b, l_b = flash_attention_with_lse(q, kb, vb, vma=vma)
         o, l = _merge(o, l, o_b, l_b)
         kb = jax.lax.ppermute(kb, axis_name, perm)
         vb = jax.lax.ppermute(vb, axis_name, perm)
@@ -121,10 +123,12 @@ def _ring_attention_bwd(axis_name, res, g):
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1).transpose(0, 2, 1)               # (B,H,Sq)
 
+    vma = tuple(jax.typeof(q).vma) or (axis_name,)
+
     def step(carry, _):
         dq, dk, dv, kb, vb = carry
         dq_b, dk_b, dv_b = flash_attention_bwd_with_lse(
-            q, kb, vb, out, lse, g, vma=(axis_name,), delta=delta)
+            q, kb, vb, out, lse, g, vma=vma, delta=delta)
         dq = dq + dq_b.astype(jnp.float32)
         dk = dk + dk_b.astype(jnp.float32)
         dv = dv + dv_b.astype(jnp.float32)

@@ -52,11 +52,23 @@ def activation_mesh(mesh: Optional[Mesh]):
 
 def constrain_batch(x: Any) -> Any:
     """Constrain an activation's leading (batch) dim to the ambient mesh's
-    batch sharding; identity outside an `activation_mesh` context."""
+    batch sharding; identity outside an `activation_mesh` context.
+
+    With an active `sp` axis (sequence parallelism), dim 1 — the token /
+    spatial-height axis of (B,S,...) and (B,H,W,C) activations — is
+    additionally sharded over `sp` whenever divisible, so the whole UNet
+    body (convs with XLA-inserted halo exchange, norms with allreduced
+    stats, per-token matmuls) runs token-sharded and ring attention
+    consumes its q/k/v shards in place."""
     mesh = _ACTIVATION_MESH[0]
     if mesh is None:
         return x
-    spec = P(batch_spec(mesh)[0], *([None] * (x.ndim - 1)))
+    batch_axes = batch_spec(mesh)[0]
+    rest: list = [None] * (x.ndim - 1)
+    sp = mesh.shape.get("sp", 1)
+    if sp > 1 and x.ndim >= 3 and x.shape[1] % sp == 0:
+        rest[0] = "sp"
+    spec = P(batch_axes, *rest)
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
@@ -95,9 +107,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def batch_spec(mesh: Mesh) -> P:
-    """Batch axis sharded over every mesh axis (pure data parallelism across
-    the full device set, reference train.py:40 global//world semantics)."""
-    return P(tuple(mesh.axis_names))
+    """Batch axis sharded over every data-carrying mesh axis (pure data
+    parallelism, reference train.py:40 global//world semantics). The `sp`
+    axis shards tokens, not examples, so it is excluded — batches are
+    replicated across an sp group."""
+    return P(tuple(a for a in mesh.axis_names if a != "sp"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -89,7 +89,9 @@ class Trainer:
         load_weights_only: bool = False,
         eval_subset_num_batches: int = -1,
         mesh: Optional[Mesh] = None,
+        mesh_config: Optional[dict] = None,
         fsdp_config: Optional[dict] = None,
+        sequence_parallel_min_seq: int = 512,
         image_size: int = 256,
         grad_clip_norm: Optional[float] = None,
         batches_per_epoch: Optional[int] = None,
@@ -148,10 +150,16 @@ class Trainer:
         # its min_params is a per-leaf size floor below which we replicate
         self.fsdp_min_size = int((fsdp_config or {}).get("min_params", 2 ** 16))
         if mesh is None:
-            n = jax.device_count()
-            mesh = create_mesh(fsdp=n if use_fsdp else 1,
-                               data=1 if use_fsdp else n)
+            if mesh_config:
+                # yaml surface: trainer.mesh_config {dcn, fsdp, data, sp}
+                # (sp > 1 turns on sequence-parallel ring attention)
+                mesh = create_mesh(**mesh_config)
+            else:
+                n = jax.device_count()
+                mesh = create_mesh(fsdp=n if use_fsdp else 1,
+                                   data=1 if use_fsdp else n)
         self.mesh = mesh
+        self.sequence_parallel_min_seq = int(sequence_parallel_min_seq)
 
         # ---- evaluators
         if eval_dataloader is None:
@@ -278,7 +286,7 @@ class Trainer:
                        self.state.ema_start_batch,
                        int(self.ema_algorithm.update_interval.value))
         bspec = batch_spec(mesh)
-        data_axes = tuple(mesh.axis_names)
+        data_axes = bspec[0]  # every axis except sp (tokens, not examples)
 
         def loss_fn(p, mb, r):
             return model.loss_fn(p, frozen, mb, r)
@@ -286,11 +294,15 @@ class Trainer:
         base_key = self._base_key
 
         def step_fn(ts: TrainState, batch):
-            # trace-time context: lets the UNet pin activations to the batch
-            # sharding (parallel/sharding.py constrain_batch) so SPMD never
-            # falls back to full-rematerialization resharding on norm
-            # reshapes. Identity when mesh.size == 1.
-            with activation_mesh(None if self._plain else mesh):
+            # trace-time contexts: the UNet pins activations to the batch
+            # (+ sp token) sharding (parallel/sharding.py constrain_batch)
+            # so SPMD never falls back to full-rematerialization resharding,
+            # and long self-attention dispatches to ring attention when the
+            # mesh has an sp axis. Identity when mesh.size == 1.
+            from diffusion_tpu.ops.attention import sequence_parallel
+            with activation_mesh(None if self._plain else mesh), \
+                    sequence_parallel(None if self._plain else mesh,
+                                      min_seq=self.sequence_parallel_min_seq):
                 return _step_body(ts, batch)
 
         def _step_body(ts: TrainState, batch):
@@ -451,9 +463,13 @@ class Trainer:
         num_t = getattr(model.noise_scheduler, "num_train_timesteps", 1000)
 
         def eval_fn(params, batch, rng):
+            from diffusion_tpu.ops.attention import sequence_parallel
             batch = dict(batch)
             valid = batch.pop("_valid", None)
-            with activation_mesh(None if self._plain else self.mesh):
+            with activation_mesh(None if self._plain else self.mesh), \
+                    sequence_parallel(
+                        None if self._plain else self.mesh,
+                        min_seq=self.sequence_parallel_min_seq):
                 pred, target, t = model.forward(params, frozen, batch, rng)
             err = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))
             per_example = jnp.mean(err, axis=tuple(range(1, err.ndim)))

@@ -14,9 +14,11 @@ from diffusion_tpu.parallel.sharding import (batch_spec, make_global_batch,
 
 def test_create_mesh_inference():
     mesh = create_mesh(fsdp=-1)
-    assert mesh.shape == {"dcn": 1, "fsdp": 8, "data": 1}
+    assert mesh.shape == {"dcn": 1, "fsdp": 8, "data": 1, "sp": 1}
     mesh = create_mesh(dcn=2, fsdp=2, data=2)
-    assert mesh.shape == {"dcn": 2, "fsdp": 2, "data": 2}
+    assert mesh.shape == {"dcn": 2, "fsdp": 2, "data": 2, "sp": 1}
+    mesh = create_mesh(dcn=1, fsdp=2, data=2, sp=2)
+    assert mesh.shape == {"dcn": 1, "fsdp": 2, "data": 2, "sp": 2}
     with pytest.raises(ValueError):
         create_mesh(fsdp=3)  # 8 % 3 != 0
     with pytest.raises(ValueError):
@@ -42,6 +44,9 @@ def test_param_spec_rules():
 
 def test_batch_spec_covers_all_axes():
     mesh = create_mesh(dcn=2, fsdp=2, data=2)
+    assert batch_spec(mesh) == P(("dcn", "fsdp", "data"))
+    # sp shards tokens, not examples: excluded from the batch spec
+    mesh = create_mesh(dcn=1, fsdp=2, data=2, sp=2)
     assert batch_spec(mesh) == P(("dcn", "fsdp", "data"))
 
 

@@ -127,6 +127,36 @@ def test_sd2_base_512_yaml(fixtures):
 
 
 @pytest.mark.slow
+def test_sd2_base_1024_sp_yaml(fixtures):
+    """The sequence-parallel 1024px config composes; the sp mesh reaches
+    the Trainer (mesh_config is the yaml surface for ring attention)."""
+    cfg = load_config(os.path.join(YAML_DIR, "SD-2-base-1024-sp.yaml"),
+                      BASE_OVERRIDES + [
+        f"dataset.train_dataset.remote={fixtures['laion']}",
+        "+dataset.train_dataset.image_key=jpg",
+        "+dataset.train_dataset.caption_key=caption",
+        "dataset.train_dataset.num_workers=1",
+        "dataset.train_dataset.resize_size=32",
+        f"dataset.eval_dataset.remote={fixtures['coco']}",
+        "dataset.eval_dataset.num_workers=1",
+        "dataset.eval_dataset.resize_size=32",
+        "trainer.image_size=32",
+        "trainer.mesh_config.fsdp=2",
+        "trainer.mesh_config.data=2",
+        "trainer.mesh_config.sp=2",
+        "trainer.sequence_parallel_min_seq=16",
+        "model.remat=false",
+    ])
+    cfg.pop("logger", None)
+    trainer = build_trainer(cfg)
+    assert trainer.mesh.shape["sp"] == 2
+    assert trainer.sequence_parallel_min_seq == 16
+    batch = next(iter(trainer.train_dataloader))
+    assert "captions" in batch
+    trainer.close()
+
+
+@pytest.mark.slow
 def test_sd2_base_256_wds_yaml(fixtures):
     _build(os.path.join(YAML_DIR, "SD-2-base-256-wds.yaml"), BASE_OVERRIDES + [
         f"dataset.train_dataset.meta_json={fixtures['wds_manifest']}",
