@@ -2,7 +2,7 @@
 # test / test-tpu, plus the distributed target the reference declared but
 # never implemented — here it actually runs the 8-device dry run).
 
-.PHONY: test test-fast test-tpu test-dist bench lint
+.PHONY: test test-fast test-tpu test-dist bench bench-data lint
 
 test:
 	python -m pytest tests/ -x -q
@@ -21,6 +21,10 @@ test-dist:
 
 bench:
 	python bench.py
+
+# host-side input-pipeline throughput (decoded img/s vs per-chip demand)
+bench-data:
+	BENCH_DATA=1 python bench.py
 
 lint:
 	python -m compileall -q diffusion_tpu tests scripts tools

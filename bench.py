@@ -246,6 +246,121 @@ def _make_latent_mds(out_dir: str, n_samples: int, res: int) -> None:
             })
 
 
+def _make_jpeg_mds(out_dir: str, n_samples: int, res: int) -> None:
+    """Synthetic raw-JPEG MDS (the reference's non-precomputed LAION path)."""
+    import io
+    import json
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from diffusion_tpu.data.mds import MDSWriter
+
+    index = os.path.join(out_dir, "index.json")
+    if os.path.exists(index):
+        with open(index) as f:
+            if sum(s["samples"] for s in json.load(f)["shards"]) >= n_samples:
+                return
+    rng = np.random.default_rng(11)
+    with MDSWriter(out_dir, {"image": "bytes", "caption": "str"}) as w:
+        for i in range(n_samples):
+            arr = rng.integers(0, 255, (res, res, 3)).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+            w.write({"image": buf.getvalue(), "caption": f"sample {i}"})
+
+
+def data_bench(res: int = 256) -> dict:
+    """Input-pipeline throughput: decoded img/s this host can feed (verdict
+    r2 item 6 — 'can the host feed the chips'). Measures the MDS
+    image-caption loader (JPEG decode + transform + tokenize) and the wds
+    tar pipeline; compares against the measured per-chip training demand.
+    Host-side only — no TPU involved."""
+    import io
+    import json as _json
+    import os
+    import tarfile
+    import tempfile
+
+    import numpy as np
+
+    from diffusion_tpu.data.image_caption import (
+        build_streaming_image_caption_dataloader)
+    from diffusion_tpu.data.native import native_available
+    from diffusion_tpu.data.wds import build_wds_dataloader
+
+    n = int(os.environ.get("BENCH_DATA_SAMPLES", "384"))
+    bsz = 32
+    root = os.path.join(tempfile.gettempdir(),
+                        f"diffusion_tpu_bench_jpeg_{res}")
+    mds_dir = os.path.join(root, "mds")
+    os.makedirs(mds_dir, exist_ok=True)
+    _make_jpeg_mds(mds_dir, n, res)
+
+    def rate(loader):
+        it = iter(loader)
+        first = next(it)  # warmup: worker spin-up + first buffers
+        seen = first["image"].shape[0] if hasattr(first["image"], "shape") \
+            else len(first["image"])
+        t0 = time.perf_counter()
+        timed = 0
+        for batch in it:
+            timed += batch["image"].shape[0]
+        dt = time.perf_counter() - t0
+        return timed / dt if dt > 0 else float("inf"), seen + timed
+
+    workers = int(os.environ.get("BENCH_DATA_WORKERS", "4"))
+    loader = build_streaming_image_caption_dataloader(
+        remote=mds_dir, batch_size=bsz, resize_size=res,
+        num_workers=workers, drop_last=True, shuffle=True,
+        persistent_workers=False)
+    mds_rate, mds_seen = rate(loader)
+
+    # wds tar pipeline over the same images
+    tar_dir = os.path.join(root, "tars")
+    manifest = os.path.join(root, "shards.json")
+    if not os.path.exists(manifest):
+        os.makedirs(tar_dir, exist_ok=True)
+        rng = np.random.default_rng(13)
+        from PIL import Image
+        for t in range(2):
+            with tarfile.open(os.path.join(tar_dir, f"{t}.tar"), "w") as tf:
+                for i in range(n // 2):
+                    arr = rng.integers(0, 255, (res, res, 3)).astype(np.uint8)
+                    buf = io.BytesIO()
+                    Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+                    data = buf.getvalue()
+                    info = tarfile.TarInfo(f"s{t}-{i:05d}.jpg")
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+                    cap = f"tar caption {i}".encode()
+                    info = tarfile.TarInfo(f"s{t}-{i:05d}.txt")
+                    info.size = len(cap)
+                    tf.addfile(info, io.BytesIO(cap))
+        with open(manifest, "w") as f:
+            _json.dump([os.path.join(tar_dir, f"{t}.tar")
+                        for t in range(2)], f)
+    wds_loader = build_wds_dataloader(meta_json=manifest, batch_size=bsz,
+                                      resize_size=res, num_workers=workers)
+    wds_rate, _ = rate(wds_loader)
+
+    # demand: the driver-measured e2e training rate per chip (BENCH_r02)
+    demand = float(os.environ.get("BENCH_DATA_DEMAND", "129.2"))
+    return {
+        "metric": f"input_pipeline_mds_img_per_sec_{res}px",
+        "value": round(mds_rate, 2),
+        "unit": "img/s",
+        "vs_baseline": round(mds_rate / demand, 4),
+        "wds_img_per_sec": round(wds_rate, 2),
+        "native_core": native_available(),
+        "demand_img_per_sec_per_chip": demand,
+        "chips_one_host_can_feed": round(mds_rate / demand, 2),
+        "decode_workers": workers,
+        "samples": mds_seen,
+    }
+
+
 def e2e_bench(res: int, steps: int = 12, skip: int = 2) -> dict:
     """Trainer.fit() throughput via the real composition path (verdict r1
     item 3: the reference's README.md:54-60 numbers are full-trainer)."""
@@ -342,6 +457,10 @@ def main() -> None:
     import os
 
     res = int(os.environ.get("BENCH_RES", "256"))
+    if os.environ.get("BENCH_DATA", "0") == "1":
+        # input-pipeline-only mode: host decode throughput, no TPU
+        print(json.dumps(data_bench(res)))
+        return
     result = step_bench()
     online_step = os.environ.get("BENCH_ONLINE", "0") == "1"
     if online_step:

@@ -51,7 +51,13 @@ def _maxpool(x, k=3, s=2, pad="VALID"):
 
 
 def _avgpool3(x):
-    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+    # count_include_pad=False is the FID ("pt_inception") variant's patch to
+    # torchvision's pool branches; with flax's default (True) the border
+    # pixels divide by 9 instead of the real window size and every
+    # InceptionA/C/E pool branch is silently wrong at the edges
+    # (caught by tests/test_inception_parity.py)
+    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                       count_include_pad=False)
 
 
 class InceptionA(nn.Module):

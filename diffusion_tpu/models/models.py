@@ -106,6 +106,8 @@ def stable_diffusion_tiny(val_guidance_scales: Optional[List[float]] = None,
                           precomputed_latents: bool = False,
                           model_name: Optional[str] = None,
                           pretrained: bool = False,
+                          val_metrics: Optional[List[Any]] = None,
+                          allow_random_tower_weights: bool = False,
                           **_: Any) -> StableDiffusion:
     """Tiny-geometry StableDiffusion for smoke tests / CI / CPU runs —
     real architecture, small channels (the reference's own test strategy,
@@ -134,6 +136,8 @@ def stable_diffusion_tiny(val_guidance_scales: Optional[List[float]] = None,
         inference_scheduler=DDIMScheduler(),
         precomputed_latents=precomputed_latents,
         pretrained_path=model_name if pretrained else None,
+        val_metric_names=tuple(val_metrics or ("MeanSquaredError",)),
+        allow_random_tower_weights=bool(allow_random_tower_weights),
         val_guidance_scales=tuple(val_guidance_scales or ()), fsdp=True)
 
 

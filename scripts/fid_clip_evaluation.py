@@ -34,7 +34,7 @@ PROMPTS = [
 ]
 
 
-def main() -> None:
+def main(argv=None) -> dict:
     p = argparse.ArgumentParser()
     p.add_argument("--remote", required=True)
     p.add_argument("--local", default=None)
@@ -46,11 +46,19 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=1138)
     p.add_argument("--subset_num_batches", type=int, default=-1)
     p.add_argument("--tokenizer", default=None)
-    args = p.parse_args()
+    p.add_argument("--builder",
+                   default="diffusion_tpu.models.models.stable_diffusion_2",
+                   help="model builder dotted path (the tiny builder makes "
+                        "the whole protocol runnable in CI)")
+    p.add_argument("--allow_random_towers", action="store_true",
+                   help="permit random metric-tower weights (CI/smoke only "
+                        "- FID numbers are meaningless without real towers)")
+    p.add_argument("--out", default="eval_metrics.jsonl")
+    args = p.parse_args(argv)
 
     from diffusion_tpu.callbacks.log_diffusion_images import LogDiffusionImages
+    from diffusion_tpu.config.loader import _import_target
     from diffusion_tpu.data.coco import build_streaming_cocoval_dataloader
-    from diffusion_tpu.models.models import stable_diffusion_2
     from diffusion_tpu.parallel import dist
     from diffusion_tpu.train.trainer import Evaluator, Trainer
     from diffusion_tpu.utils.logging import ConsoleLogger, FileLogger
@@ -59,17 +67,19 @@ def main() -> None:
     loader = build_streaming_cocoval_dataloader(
         remote=args.remote, local=args.local, batch_size=args.batch_size,
         resize_size=args.size, tokenizer_name_or_path=args.tokenizer)
-    model = stable_diffusion_2(
+    builder = _import_target(args.builder)
+    model = builder(
         model_name=args.tokenizer, pretrained=False,
         val_metrics=["FrechetInceptionDistance", "CLIPScore"],
         val_guidance_scales=[args.guidance_scale], val_seed=args.seed,
+        allow_random_tower_weights=args.allow_random_towers,
         fsdp=True)
     trainer = Trainer(
         model=model,
         eval_dataloader=[Evaluator("coco-val", loader,
                                    model.val_metric_names)],
         loggers=[ConsoleLogger(log_interval=1),
-                 FileLogger("eval_metrics.jsonl")],
+                 FileLogger(args.out)],
         callbacks=[LogDiffusionImages(PROMPTS, size=args.size,
                                       guidance_scale=args.guidance_scale,
                                       seed=args.seed)],
@@ -78,8 +88,10 @@ def main() -> None:
         eval_num_inference_steps=args.num_inference_steps,
         eval_subset_num_batches=args.subset_num_batches)
     results = trainer.eval()
+    trainer.close()  # flush buffered metric records to --out
     for k, v in sorted(results.items()):
         print(f"{k}: {v}")
+    return results
 
 
 if __name__ == "__main__":
