@@ -86,6 +86,16 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         ids = self._epoch_indices()
         start = self._batch_in_epoch * self.batch_size
+        if start and start >= len(ids):  # _epoch_indices pre-truncates drop_last
+            # resumed from a checkpoint taken on the epoch's final batch:
+            # the epoch rollover below never ran (the checkpoint is written
+            # while this generator is suspended at its last yield), so the
+            # restored position points past the end — start the next epoch
+            # instead of yielding an empty one
+            self._epoch += 1
+            self._batch_in_epoch = 0
+            ids = self._epoch_indices()
+            start = 0
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         try:
             window = self.batch_size * self.prefetch_factor

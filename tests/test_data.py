@@ -104,6 +104,17 @@ def test_dataloader_batches(tmp_path):
     assert len(rest) == 3
     np.testing.assert_array_equal(rest[0]["idx"], batches[3]["idx"])
 
+    # resume AT the epoch boundary: a checkpoint taken on an epoch's final
+    # batch is written while __iter__ is suspended at its last yield, so
+    # the saved position points past the end of the epoch; resuming must
+    # start the next epoch, not yield an empty one (this hung autoresume
+    # across epoch boundaries in run.py)
+    dl3 = DataLoader(ds, batch_size=4, drop_last=True, num_workers=1)
+    dl3.load_state_dict({"epoch": 0, "batch_in_epoch": 6})
+    nxt = list(dl3)
+    assert len(nxt) == 6
+    assert dl3.state_dict() == {"epoch": 2, "batch_in_epoch": 0}
+
 
 def test_collate():
     out = default_collate([{"a": np.ones(2), "b": 1, "c": "x"},
