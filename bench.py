@@ -317,6 +317,18 @@ def data_bench(res: int = 256) -> dict:
         persistent_workers=False)
     mds_rate, mds_seen = rate(loader)
 
+    # same loader with process-pool decode (worker_type='process'): sidesteps
+    # the GIL for the Python-side transform/tokenize work, like the
+    # reference's process fan-out. On many-core pod hosts this is the lever
+    # when the thread rate stalls below per-chip demand x chips.
+    proc_rate = 0.0
+    if os.environ.get("BENCH_DATA_PROC", "1") == "1":
+        proc_loader = build_streaming_image_caption_dataloader(
+            remote=mds_dir, batch_size=bsz, resize_size=res,
+            num_workers=workers, drop_last=True, shuffle=True,
+            worker_type="process")
+        proc_rate, _ = rate(proc_loader)
+
     # wds tar pipeline over the same images
     tar_dir = os.path.join(root, "tars")
     manifest = os.path.join(root, "shards.json")
@@ -353,6 +365,7 @@ def data_bench(res: int = 256) -> dict:
         "unit": "img/s",
         "vs_baseline": round(mds_rate / demand, 4),
         "wds_img_per_sec": round(wds_rate, 2),
+        "mds_process_workers_img_per_sec": round(proc_rate, 2),
         "native_core": native_available(),
         "demand_img_per_sec_per_chip": demand,
         "chips_one_host_can_feed": round(mds_rate / demand, 2),

@@ -17,9 +17,11 @@ pipelines (datapipes.py) get an explicit length-sync instead.
 
 from __future__ import annotations
 
+import multiprocessing
+import pickle
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -27,6 +29,25 @@ import numpy as np
 import jax
 
 __all__ = ["DataLoader", "default_collate"]
+
+
+# ---- process-pool decode workers ------------------------------------------
+# JPEG decode under PIL releases the GIL only inside libjpeg; on a busy host
+# the Python-side transform/tokenize work serializes a thread pool. The
+# reference fans out with *processes* for the same reason (reference
+# laion_cloudwriter.py:299-309, torchdata MultiProcessingReadingService,
+# wds_datapipe.py:234-237). The dataset is pickled ONCE per worker process
+# (initializer), not per sample; work items are bare indices.
+_WORKER_DATASET: Any = None
+
+
+def _init_process_worker(pickled_dataset: bytes) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = pickle.loads(pickled_dataset)
+
+
+def _process_getitem(idx: int) -> Dict[str, Any]:
+    return _WORKER_DATASET[idx]
 
 
 def default_collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
@@ -58,14 +79,18 @@ class DataLoader:
                  num_workers: int = 4, prefetch_factor: int = 2,
                  collate_fn: Optional[Callable] = None,
                  persistent_workers: bool = True, pin_memory: bool = False,
+                 worker_type: str = "thread",
                  **_: Any):
         del persistent_workers, pin_memory  # CUDA-isms; no TPU meaning
+        if worker_type not in ("thread", "process"):
+            raise ValueError(f"worker_type must be thread|process: {worker_type}")
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.drop_last = drop_last
         self.num_workers = max(int(num_workers), 1)
         self.prefetch_factor = max(int(prefetch_factor), 1)
         self.collate_fn = collate_fn or default_collate
+        self.worker_type = worker_type
         self._epoch = 0
         self._batch_in_epoch = 0
 
@@ -96,7 +121,20 @@ class DataLoader:
             self._batch_in_epoch = 0
             ids = self._epoch_indices()
             start = 0
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        if self.worker_type == "process":
+            # spawn, not fork: the parent is multithreaded (JAX runtime +
+            # this prefetcher) and forking it can deadlock in the child
+            pool: Any = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_init_process_worker,
+                initargs=(pickle.dumps(self.dataset),))
+            getitem: Callable[[int], Any] = _process_getitem
+            submit = lambda i: pool.submit(getitem, i)  # noqa: E731
+        else:
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            submit = lambda i: pool.submit(  # noqa: E731
+                self.dataset.__getitem__, i)
         try:
             window = self.batch_size * self.prefetch_factor
             futures: "queue.Queue" = queue.Queue()
@@ -106,8 +144,7 @@ class DataLoader:
             def submit_upto(limit):
                 nonlocal ahead
                 while ahead < min(limit, len(ids)):
-                    futures.put(pool.submit(self.dataset.__getitem__,
-                                            int(ids[ahead])))
+                    futures.put(submit(int(ids[ahead])))
                     ahead += 1
 
             submit_upto(start + window + self.batch_size)

@@ -20,7 +20,8 @@ from PIL import Image
 
 from diffusion_tpu.data.dataloader import DataLoader
 from diffusion_tpu.data.streaming import Stream, StreamingDataset
-from diffusion_tpu.data.transforms import LargestCenterSquare, sd_normalize
+from diffusion_tpu.data.transforms import (LargestCenterSquare,
+                                           SDSquareNormalize, sd_normalize)
 from diffusion_tpu.text.tokenizer import CLIPTokenizer, tiny_tokenizer
 
 __all__ = ["StreamingImageCaptionDataset", "build_streaming_image_caption_dataloader"]
@@ -49,8 +50,9 @@ class StreamingImageCaptionDataset(StreamingDataset):
         self.caption_selection = caption_selection
         self.transform = transform
         if self.transform is None:
-            crop = LargestCenterSquare(image_size)
-            self.transform = lambda img: sd_normalize(crop(img))
+            # module-level callable (not a closure) so the dataset pickles
+            # into process-pool decode workers
+            self.transform = SDSquareNormalize(image_size)
         self.image_key = image_key
         self.caption_key = caption_key
 
@@ -98,6 +100,7 @@ def build_streaming_image_caption_dataloader(
     num_workers: int = 8,
     prefetch_factor: int = 2,
     persistent_workers: bool = True,
+    worker_type: str = "thread",
     pin_memory: bool = True,
     download_timeout: float = 120.0,
     download_retry: int = 2,
@@ -123,4 +126,4 @@ def build_streaming_image_caption_dataloader(
     return DataLoader(dataset, batch_size=batch_size, drop_last=drop_last,
                       num_workers=num_workers, prefetch_factor=prefetch_factor,
                       persistent_workers=persistent_workers,
-                      pin_memory=pin_memory)
+                      pin_memory=pin_memory, worker_type=worker_type)

@@ -69,6 +69,7 @@ def build_streaming_laion_dataloader(
     num_workers: int = 8,
     prefetch_factor: int = 2,
     persistent_workers: bool = True,
+    worker_type: str = "thread",
     pin_memory: bool = True,
     predownload: int = 100_000,
     download_retry: int = 2,
@@ -96,7 +97,7 @@ def build_streaming_laion_dataloader(
     return DataLoader(dataset, batch_size=batch_size, drop_last=drop_last,
                       num_workers=num_workers, prefetch_factor=prefetch_factor,
                       persistent_workers=persistent_workers,
-                      pin_memory=pin_memory)
+                      pin_memory=pin_memory, worker_type=worker_type)
 
 
 class _Subset:

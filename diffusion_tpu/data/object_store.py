@@ -44,6 +44,13 @@ class ObjectStore:
         self._s3 = None
         self._gcs = None
 
+    def __getstate__(self):
+        # lazily-created SDK clients hold sockets; recreate per process
+        state = self.__dict__.copy()
+        state["_s3"] = None
+        state["_gcs"] = None
+        return state
+
     # ---- backends ------------------------------------------------------
     def _s3_client(self):
         if self._s3 is None:

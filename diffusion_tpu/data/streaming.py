@@ -209,6 +209,19 @@ class StreamingDataset:
         order = self.epoch_order(epoch)
         return order[rank::world]
 
+    # ---- pickling (process-pool decode workers) --------------------------
+    def __getstate__(self) -> Dict[str, Any]:
+        # drop per-process resources: open shard memmaps and the lock; the
+        # child lazily reopens readers on first access
+        state = self.__dict__.copy()
+        state["_readers"] = {}
+        state.pop("_lock", None)
+        return state
+
+    def __setstate__(self, state: Dict[str, Any]) -> None:
+        self.__dict__.update(state)
+        self._lock = threading.Lock()
+
     # ---- resumable position ---------------------------------------------
     def state_dict(self) -> Dict[str, int]:
         return {"epoch": self._epoch, "sample_in_epoch": self._sample_in_epoch}

@@ -16,7 +16,8 @@ import numpy as np
 from PIL import Image
 
 __all__ = ["LargestCenterSquare", "CenterCropSDTransform", "to_tensor",
-           "normalize", "sd_normalize", "RandomCropSquare"]
+           "normalize", "sd_normalize", "RandomCropSquare",
+           "SDSquareNormalize"]
 
 
 def to_tensor(img: Image.Image) -> np.ndarray:
@@ -87,3 +88,16 @@ class CenterCropSDTransform:
             arr = arr[top:top + side, left:left + side]
         out = Image.fromarray(arr).resize((self.size, self.size), Image.BICUBIC)
         return np.asarray(out, dtype=np.float32) / 127.5 - 1.0
+
+
+class SDSquareNormalize:
+    """LargestCenterSquare resize/crop followed by sd_normalize — the default
+    train transform (reference image_caption.py:160-166's
+    LargestCenterSquare->ToTensor->Normalize(0.5,0.5) compose) as a picklable
+    callable so datasets can cross into process-pool decode workers."""
+
+    def __init__(self, size: int):
+        self.crop = LargestCenterSquare(size)
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        return sd_normalize(self.crop(img))

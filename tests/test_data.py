@@ -307,3 +307,33 @@ def test_release_shard_deletes_cache_only(tmp_path):
     ds2 = StreamingDataset(local=src)
     assert not ds2.release_shard(ds2.flat_shard_of(0))
     assert ds2.get_sample(0)["idx"] == 0
+
+
+def test_process_worker_loader_matches_thread(tmp_path):
+    """worker_type='process' (the reference's process fan-out, torchdata
+    MultiProcessingReadingService / laion_cloudwriter.py:299-309) yields
+    byte-identical batches to the thread pool, through the full
+    image-caption path (JPEG decode + transform + tokenizer pickling)."""
+    from diffusion_tpu.data.image_caption import (
+        build_streaming_image_caption_dataloader)
+
+    out = str(tmp_path / "mds")
+    with MDSWriter(out, {"image": "bytes", "caption": "str"}) as w:
+        rng = np.random.default_rng(3)
+        for i in range(12):
+            arr = rng.integers(0, 255, (48, 40, 3)).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG")
+            w.write({"image": buf.getvalue(), "caption": f"caption {i}"})
+
+    def batches(worker_type):
+        dl = build_streaming_image_caption_dataloader(
+            remote=out, batch_size=4, resize_size=32, shuffle=False,
+            num_workers=2, drop_last=True, worker_type=worker_type)
+        return list(dl)
+
+    thread_b, proc_b = batches("thread"), batches("process")
+    assert len(thread_b) == len(proc_b) == 3
+    for tb, pb in zip(thread_b, proc_b):
+        np.testing.assert_array_equal(tb["image"], pb["image"])
+        np.testing.assert_array_equal(tb["captions"], pb["captions"])
