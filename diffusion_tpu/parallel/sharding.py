@@ -66,7 +66,13 @@ def constrain_batch(x: Any) -> Any:
     batch_axes = batch_spec(mesh)[0]
     rest: list = [None] * (x.ndim - 1)
     sp = mesh.shape.get("sp", 1)
-    if sp > 1 and x.ndim >= 3 and x.shape[1] % sp == 0:
+    if sp > 1 and x.ndim >= 3 and x.shape[1] % sp == 0 \
+            and x.shape[1] // sp >= 2:
+        # require >=2 rows per shard: degenerate 1-row spatial shards make
+        # 3x3 conv halo exchange pure overhead and drive the SPMD
+        # partitioner into replicate-then-reshard ("involuntary full
+        # rematerialization") on the deepest UNet stages; those tiny stages
+        # stay batch-sharded instead
         rest[0] = "sp"
     spec = P(batch_axes, *rest)
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

@@ -108,3 +108,34 @@ def test_multichip_step_compiles_without_spmd_remat(capfd):
         "SPMD partitioner fell back to full rematerialization:\n"
         + "\n".join(l for l in err.splitlines()
                     if "Involuntary" in l)[:2000])
+
+
+def test_sp_step_compiles_without_spmd_remat(capfd):
+    """Same zero-SPMD-remat pin for the sequence-parallel mesh. 64px (8x8
+    latent) keeps >=2 spatial rows per sp shard at every UNet stage — the
+    production regime (1024px: 128..16 rows/stage) where the whole body is
+    uniformly token-sharded; constrain_batch leaves degenerate 1-row-shard
+    stages batch-sharded by design, so at this size nothing mixes."""
+    from diffusion_tpu.train.optim import adamw
+    from diffusion_tpu.train.trainer import Trainer
+    from tests.common import tiny_stable_diffusion
+
+    mesh = create_mesh(dcn=2, fsdp=2, data=1, sp=2)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.uniform(-1, 1, (16, 64, 64, 3)).astype(np.float32),
+        "captions": rng.integers(0, 500, (16, 77)).astype(np.int32),
+    }
+    tr = Trainer(model=tiny_stable_diffusion(), train_dataloader=[batch],
+                 optimizers=adamw(lr=1e-4), max_duration="1ba",
+                 image_size=64, mesh=mesh,
+                 fsdp_config={"min_params": 0},
+                 device_train_microbatch_size=1,
+                 sequence_parallel_min_seq=16)
+    capfd.readouterr()
+    tr.fit()
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, (
+        "SPMD partitioner fell back to full rematerialization:\n"
+        + "\n".join(l for l in err.splitlines()
+                    if "Involuntary" in l)[:2000])
