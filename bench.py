@@ -28,6 +28,15 @@ def default_batch_per_chip(res: int) -> int:
         "BENCH_BATCH_PER_CHIP", {256: "24", 512: "8"}.get(res, "2"))))
 
 
+def bench_remat(res: int) -> bool:
+    """Measured on the real chip: at 256^2/batch 24 everything fits without
+    remat and the step is ~5% faster (110.7 vs 101.7 img/s/chip same-relay;
+    e2e 138.3 vs 129.1). At 512^2 the 4096-token activations oversubscribe
+    HBM without remat, so 'dots' remat stays on."""
+    return os.environ.get("BENCH_REMAT",
+                          {256: "0"}.get(res, "1")) == "1"
+
+
 def baseline_per_chip(res: int) -> float:
     """v4-32 north-star (BASELINE.json): 2300 img/s @256; the reference's
     512px numbers are ~3.9x lower (README.md:54-60). 1024px has NO
@@ -62,10 +71,11 @@ def step_bench() -> dict:
     # Memory budget on one 16 GB chip: fp32 params 3.5 GB + grads 3.5 GB +
     # AdamW moments. Full fp32 moments (10.4 GB state) oversubscribe HBM and
     # the runtime pages host<->device (~200x slowdown), so single-chip bench
-    # uses bf16 first moments + 'dots' remat (save MXU outputs, recompute
-    # elementwise). On a pod the fsdp axis shards the optimizer state (the
-    # reference's SHARD_GRAD_OP) and neither trick is needed.
-    remat = _os.environ.get("BENCH_REMAT", "1") == "1"
+    # uses bf16 first moments; 'dots' remat (save MXU outputs, recompute
+    # elementwise) is only needed at 512^2 — see bench_remat(). On a pod the
+    # fsdp axis shards the optimizer state (the reference's SHARD_GRAD_OP)
+    # and neither trick is needed.
+    remat = bench_remat(res)
     # BENCH_ONLINE=1: the non-precomputed path — fp16 VAE+CLIP encode inside
     # the jitted step (reference README.md:52 prices this at 1.4x the
     # precomputed cost; this measures OUR overhead factor)
@@ -374,7 +384,7 @@ def data_bench(res: int = 256) -> dict:
     }
 
 
-def e2e_bench(res: int, steps: int = 12, skip: int = 2) -> dict:
+def e2e_bench(res: int, steps: int = 24, skip: int = 4) -> dict:
     """Trainer.fit() throughput via the real composition path (verdict r1
     item 3: the reference's README.md:54-60 numbers are full-trainer)."""
     import os
@@ -421,7 +431,8 @@ def e2e_bench(res: int, steps: int = 12, skip: int = 2) -> dict:
             "_target_": "diffusion_tpu.models.models.stable_diffusion_2",
             "pretrained": False, "precomputed_latents": True,
             "encode_latents_in_fp16": True, "fsdp": n_dev > 1,
-            "remat": True, "val_metrics": ["MeanSquaredError"],
+            "remat": bench_remat(res),
+            "val_metrics": ["MeanSquaredError"],
             "val_guidance_scales": [], "loss_bins": [],
         },
         "optimizer": {"lr": 1.0e-4, "weight_decay": 0.01,
@@ -475,12 +486,10 @@ def main() -> None:
         print(json.dumps(data_bench(res)))
         return
     result = step_bench()
+    # the online-encode step bench is a different pipeline from the
+    # precomputed-path e2e bench; step_bench already tags its metric
+    # `unet_train_online_...`, so just skip the e2e headline override there
     online_step = os.environ.get("BENCH_ONLINE", "0") == "1"
-    if online_step:
-        # the step bench ran the online-encode path; the e2e bench below is
-        # the precomputed path — don't let the headline silently compare
-        # across pipelines (tag the step metric instead)
-        result["metric"] = f"{result['metric']}_online"
     if not online_step and os.environ.get("BENCH_E2E", "1") == "1":
         try:
             e2e = e2e_bench(res)

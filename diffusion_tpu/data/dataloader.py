@@ -81,7 +81,7 @@ class DataLoader:
                  persistent_workers: bool = True, pin_memory: bool = False,
                  worker_type: str = "thread",
                  **_: Any):
-        del persistent_workers, pin_memory  # CUDA-isms; no TPU meaning
+        del pin_memory  # CUDA-ism; no TPU meaning
         if worker_type not in ("thread", "process"):
             raise ValueError(f"worker_type must be thread|process: {worker_type}")
         self.dataset = dataset
@@ -91,6 +91,13 @@ class DataLoader:
         self.prefetch_factor = max(int(prefetch_factor), 1)
         self.collate_fn = collate_fn or default_collate
         self.worker_type = worker_type
+        # persistent_workers (torch parity, default on): keep ONE worker
+        # pool across epochs — a spawn ProcessPoolExecutor pays
+        # num_workers x (interpreter spawn + imports + dataset unpickle)
+        # at creation, far too much to repeat at every epoch boundary.
+        # Safe because __getitem__(idx) is stateless on these datasets.
+        self.persistent_workers = bool(persistent_workers)
+        self._pool: Any = None
         self._epoch = 0
         self._batch_in_epoch = 0
 
@@ -121,18 +128,23 @@ class DataLoader:
             self._batch_in_epoch = 0
             ids = self._epoch_indices()
             start = 0
+        pool = self._pool if self.persistent_workers else None
+        if pool is None:
+            if self.worker_type == "process":
+                # spawn, not fork: the parent is multithreaded (JAX runtime
+                # + this prefetcher) and forking it can deadlock in the child
+                pool = ProcessPoolExecutor(
+                    max_workers=self.num_workers,
+                    mp_context=multiprocessing.get_context("spawn"),
+                    initializer=_init_process_worker,
+                    initargs=(pickle.dumps(self.dataset),))
+            else:
+                pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            if self.persistent_workers:
+                self._pool = pool
         if self.worker_type == "process":
-            # spawn, not fork: the parent is multithreaded (JAX runtime +
-            # this prefetcher) and forking it can deadlock in the child
-            pool: Any = ProcessPoolExecutor(
-                max_workers=self.num_workers,
-                mp_context=multiprocessing.get_context("spawn"),
-                initializer=_init_process_worker,
-                initargs=(pickle.dumps(self.dataset),))
-            getitem: Callable[[int], Any] = _process_getitem
-            submit = lambda i: pool.submit(getitem, i)  # noqa: E731
+            submit = lambda i: pool.submit(_process_getitem, i)  # noqa: E731
         else:
-            pool = ThreadPoolExecutor(max_workers=self.num_workers)
             submit = lambda i: pool.submit(  # noqa: E731
                 self.dataset.__getitem__, i)
         try:
@@ -159,7 +171,25 @@ class DataLoader:
             self._epoch += 1
             self._batch_in_epoch = 0
         finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+            if pool is self._pool:
+                # persistent pool: cancel what this (possibly abandoned)
+                # epoch still has queued, keep the workers for the next one
+                while not futures.empty():
+                    futures.get_nowait().cancel()
+            else:
+                pool.shutdown(wait=False, cancel_futures=True)
+
+    def close(self) -> None:
+        """Shut down a persistent worker pool (idempotent)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):  # best-effort; close() is the real API
+        try:
+            self.close()
+        except Exception:
+            pass
 
     # ---- loader-position checkpointing (Composer autoresume parity) -----
     def state_dict(self) -> Dict[str, int]:

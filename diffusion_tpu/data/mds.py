@@ -172,8 +172,13 @@ class MDSWriter:
             if self._shards_since_index >= self.index_upload_interval:
                 self._shards_since_index = 0
                 self._write_index()
+                # upload a per-refresh SNAPSHOT: a queued upload must never
+                # read index.json while a later refresh truncates/rewrites
+                # it (the remote would receive a partial JSON)
+                snap = f".index.{len(self._shards):05}.json"
+                self._write_index(snap)
                 self._uploads.append(
-                    self._pool.submit(self._upload, "index.json"))
+                    self._pool.submit(self._upload_index_snapshot, snap))
 
     def _upload(self, basename: str) -> None:
         from diffusion_tpu.data.object_store import ObjectStore
@@ -182,8 +187,14 @@ class MDSWriter:
         if not self.keep_local and basename != "index.json":
             os.remove(local)
 
-    def _write_index(self) -> None:
-        with open(os.path.join(self.out, "index.json"), "w") as f:
+    def _upload_index_snapshot(self, basename: str) -> None:
+        from diffusion_tpu.data.object_store import ObjectStore
+        local = os.path.join(self.out, basename)
+        ObjectStore().upload(local, f"{self.remote.rstrip('/')}/index.json")
+        os.remove(local)
+
+    def _write_index(self, basename: str = "index.json") -> None:
+        with open(os.path.join(self.out, basename), "w") as f:
             json.dump({"version": 2, "shards": self._shards}, f)
 
     def finish(self) -> None:

@@ -14,6 +14,7 @@ import os
 import random
 import shutil
 import time
+import uuid
 from typing import Callable, Optional
 
 __all__ = ["ObjectStore", "download_with_retry", "retry"]
@@ -81,9 +82,15 @@ class ObjectStore:
 
     def download(self, uri: str, local_path: str) -> str:
         os.makedirs(os.path.dirname(os.path.abspath(local_path)), exist_ok=True)
-        tmp = local_path + ".tmp"
+        # unique tmp per call: concurrent workers (threads OR the
+        # process-pool decode workers) racing on the same shard must never
+        # truncate each other's in-flight tmp — each publishes a complete
+        # file atomically and the last replace wins
+        tmp = f"{local_path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
 
         def _once() -> str:
+            if os.path.exists(local_path):  # another worker already won
+                return local_path
             if uri.startswith(("s3://", "gs://")):
                 data = self.get(uri)
                 with open(tmp, "wb") as f:
@@ -112,7 +119,10 @@ class ObjectStore:
             else:
                 os.makedirs(os.path.dirname(os.path.abspath(uri)),
                             exist_ok=True)
-                tmp = uri + ".tmp"
+                # unique tmp: concurrent uploads to the same destination
+                # (e.g. two index.json refreshes) must not clobber each
+                # other's in-flight copy
+                tmp = f"{uri}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
                 shutil.copyfile(local_path, tmp)
                 os.replace(tmp, uri)
             return uri

@@ -53,10 +53,6 @@ def _lin(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (1, 0))
 
 
-def _is_conv(name: str, w: np.ndarray) -> bool:
-    return w.ndim == 4
-
-
 def port_unet(t: Dict[str, np.ndarray]) -> Dict:
     """diffusers UNet2DConditionModel names -> models/unet.py names."""
     out: Dict = {}
@@ -227,20 +223,7 @@ def port_clip_text(t: Dict[str, np.ndarray]) -> Dict:
          t[p + "embeddings.token_embedding.weight"])
     _set(out, "position_embedding",
          t[p + "embeddings.position_embedding.weight"])
-    i = 0
-    while f"{p}encoder.layers.{i}.layer_norm1.weight" in t:
-        sp = f"{p}encoder.layers.{i}"
-        dp = f"layers_{i}"
-        for ln in ("layer_norm1", "layer_norm2"):
-            _set(out, f"{dp}/{ln}/scale", t[f"{sp}.{ln}.weight"])
-            _set(out, f"{dp}/{ln}/bias", t[f"{sp}.{ln}.bias"])
-        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
-            _set(out, f"{dp}/{proj}/kernel", _lin(t[f"{sp}.self_attn.{proj}.weight"]))
-            _set(out, f"{dp}/{proj}/bias", t[f"{sp}.self_attn.{proj}.bias"])
-        for fc in ("fc1", "fc2"):
-            _set(out, f"{dp}/{fc}/kernel", _lin(t[f"{sp}.mlp.{fc}.weight"]))
-            _set(out, f"{dp}/{fc}/bias", t[f"{sp}.mlp.{fc}.bias"])
-        i += 1
+    _clip_encoder_layers(out, t, p)
     _set(out, "final_layer_norm/scale", t[p + "final_layer_norm.weight"])
     _set(out, "final_layer_norm/bias", t[p + "final_layer_norm.bias"])
     return {"params": out}

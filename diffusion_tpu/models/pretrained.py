@@ -9,7 +9,8 @@ tools/port_weights.py (`unet.msgpack` / `vae.msgpack` /
 same models/port_hf.py converters.
 
 The loader returns HOST numpy pytrees, validated leaf-by-leaf against the
-model's own `init_params` shapes; callers (train/trainer.py init,
+model's own `init_params` shapes and cast to its dtypes (an fp16 HF
+checkpoint must not silently become fp16 master weights); callers (train/trainer.py init,
 inference/inference_model.py) device_put them under whatever shardings the
 mesh calls for — so `pretrained: true` works identically on one chip and on
 an FSDP pod slice (every host reads the file; XLA shards at transfer).
@@ -56,6 +57,19 @@ def _validate(name: str, got: Dict, want_abstract: Any) -> None:
         raise ValueError(
             f"pretrained {name} weights do not match the model geometry "
             f"({len(problems)} problems):\n  {shown}{more}")
+
+
+def _cast_like(got: Any, want_abstract: Any) -> Any:
+    """Cast loaded leaves to the dtypes the model's own init would produce.
+
+    HF ships fp16 revisions of SD2; without this an fp16 checkpoint would
+    silently become fp16 master weights (and fp16 AdamW moments / EMA state)
+    where a random init gives fp32. Structure already validated to match."""
+    if isinstance(want_abstract, Mapping):
+        return {k: _cast_like(got[k], want_abstract[k]) for k in want_abstract}
+    want_dtype = want_abstract.dtype
+    arr = np.asarray(got)
+    return arr if arr.dtype == want_dtype else arr.astype(want_dtype)
 
 
 def load_component(path: str, name: str, porter) -> Dict:
@@ -106,6 +120,7 @@ def load_pretrained_params(model: Any,
 
     params = load_component(path, "unet", port_unet)
     _validate("unet", params, abstract[0])
+    params = _cast_like(params, abstract[0])
     if not want_frozen:
         return params, {}
 
@@ -118,4 +133,5 @@ def load_pretrained_params(model: Any,
     if abstract_frozen:
         for key, tree in frozen.items():
             _validate(key, tree, abstract_frozen[key])
+            frozen[key] = _cast_like(tree, abstract_frozen[key])
     return params, frozen

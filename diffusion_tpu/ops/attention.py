@@ -122,6 +122,12 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     'auto' uses the Pallas flash kernel on TPU for long unmasked sequences
     (the UNet's spatial self-attention: 1024 tokens @256px, 4096 @512px) and
     XLA attention otherwise (77-token text, masked, tiny shapes).
+
+    Under an active `sequence_parallel` context, token-sharded
+    self-attention always takes the ring path (a parallelism decision — the
+    activations are sharded over the sp axis); a global 'xla' backend still
+    steers the KERNEL inside the ring to the pure-XLA with-lse path
+    (flash_attention._kernel_usable).
     """
     sp = _SEQ_PARALLEL[0]
     if sp is not None and mask is None:

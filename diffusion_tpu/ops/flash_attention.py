@@ -356,6 +356,13 @@ def flash_attention_bwd_with_lse(q, k, v, out, lse, do, vma=(), delta=None):
 def _kernel_usable(q: jnp.ndarray, k: jnp.ndarray) -> bool:
     if not _tiles_ok(q, k):
         return False
+    # honor the 'xla' escape hatch (DIFFUSION_TPU_ATTN_BACKEND=xla /
+    # set_default_backend) here too, so it also steers the Pallas kernels
+    # INSIDE ring attention — ring dispatch is a parallelism decision that
+    # happens before the backend check in multi_head_attention
+    from diffusion_tpu.ops import attention as _attn
+    if _attn._DEFAULT_BACKEND == "xla":
+        return False
     return jax.default_backend() == "tpu" or _interpret()
 
 

@@ -615,3 +615,9 @@ class Trainer:
 
     def close(self) -> None:
         self.logger.close()
+        # persistent-worker loaders keep a process/thread pool alive
+        loaders = [self.train_dataloader] + [e.dataloader for e in self.evaluators]
+        for loader in loaders:
+            close_fn = getattr(loader, "close", None)
+            if callable(close_fn):
+                close_fn()

@@ -153,6 +153,32 @@ def test_inference_serves_pretrained(ported_dir):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_fp16_checkpoint_casts_to_init_dtypes(ported_dir, tmp_path):
+    """HF's common fp16 revisions must not become fp16 master weights: the
+    loader casts every leaf to the dtype the model's own init produces."""
+    import flax.serialization
+
+    fp16_dir = tmp_path / "fp16"
+    fp16_dir.mkdir()
+    for name in ("unet", "vae", "text_encoder"):
+        tree = flax.serialization.msgpack_restore(
+            (ported_dir[0] / f"{name}.msgpack").read_bytes())
+        half = jax.tree.map(
+            lambda a: a.astype(np.float16)
+            if np.issubdtype(np.asarray(a).dtype, np.floating) else a, tree)
+        (fp16_dir / f"{name}.msgpack").write_bytes(
+            flax.serialization.msgpack_serialize(half))
+
+    model = stable_diffusion_tiny(pretrained=True, model_name=str(fp16_dir))
+    params, frozen = load_pretrained_params(model, image_size=32)
+    abstract = jax.eval_shape(
+        lambda r: model.init_params(r, image_size=32), jax.random.key(0))
+    for got, want in zip(jax.tree.leaves((params, frozen)),
+                         jax.tree.leaves(abstract)):
+        assert got.dtype == want.dtype  # fp32 wherever init is fp32
+    assert any(l.dtype == np.float32 for l in jax.tree.leaves(params))
+
+
 def test_geometry_mismatch_raises(ported_dir):
     """A checkpoint from the wrong geometry fails loudly at load, not at
     apply time."""
