@@ -31,8 +31,9 @@ def default_batch_per_chip(res: int) -> int:
 def bench_remat(res: int) -> bool:
     """Measured on the real chip: at 256^2/batch 24 everything fits without
     remat and the step is ~5% faster (110.7 vs 101.7 img/s/chip same-relay;
-    e2e 138.3 vs 129.1). At 512^2 the 4096-token activations oversubscribe
-    HBM without remat, so 'dots' remat stays on."""
+    e2e 138.3 vs 129.1). At 512^2 no-remat measured SLOWER (25.8 vs 26.7
+    img/s/chip — the 4096-token activations push HBM pressure past the
+    recompute cost), so the 'dots' remat policy stays on there."""
     return os.environ.get("BENCH_REMAT",
                           {256: "0"}.get(res, "1")) == "1"
 

@@ -21,23 +21,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def main(argv=None) -> dict:
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--iters", type=int, default=3)
-    args = p.parse_args()
+    p.add_argument("--tiny", action="store_true",
+                   help="CI smoke: stable_diffusion_tiny instead of SD2")
+    args = p.parse_args(argv)
 
     import functools
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from diffusion_tpu.models.models import stable_diffusion_2
+    from diffusion_tpu.models.models import (stable_diffusion_2,
+                                             stable_diffusion_tiny)
 
-    model = stable_diffusion_2(pretrained=False, encode_latents_in_fp16=True,
-                               fsdp=False)
+    if args.tiny:
+        model = stable_diffusion_tiny()
+    else:
+        model = stable_diffusion_2(pretrained=False,
+                                   encode_latents_in_fp16=True, fsdp=False)
     params, frozen = model.init_params(jax.random.key(0), image_size=args.size)
     prompt_ids = jnp.asarray(
         model.tokenizer(["a majestic lion"] * args.batch)["input_ids"])
@@ -57,14 +63,16 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     per_min = args.batch / dt * 60.0
-    print(json.dumps({
+    result = {
         "metric": f"ddim{args.steps}_samples_per_min_{args.size}px",
         "value": round(per_min, 2),
         "unit": "samples/min",
         "sec_per_batch": round(dt, 3),
         "batch": args.batch,
         "n_devices": jax.device_count(),
-    }))
+    }
+    print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":

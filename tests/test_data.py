@@ -82,6 +82,43 @@ def test_streaming_remote_download(tmp_path):
     assert os.path.exists(os.path.join(local, "index.json"))
 
 
+def test_concurrent_same_shard_download_is_safe(tmp_path):
+    """Many workers racing on one shard must each publish a COMPLETE file:
+    unique per-call tmp names + atomic replace (a shared '<shard>.tmp' used
+    to let worker B truncate worker A's finished download mid-replace)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from diffusion_tpu.data.object_store import ObjectStore
+
+    src = tmp_path / "src.bin"
+    payload = os.urandom(1 << 16)
+    src.write_bytes(payload)
+    dst = str(tmp_path / "cache" / "src.bin")
+    store = ObjectStore()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(lambda _: store.download(str(src), dst), range(32)))
+    assert open(dst, "rb").read() == payload
+    leftovers = [p for p in os.listdir(tmp_path / "cache")
+                 if p.endswith(".tmp")]
+    assert not leftovers
+
+
+def test_dataloader_persistent_pool_reused_across_epochs(tmp_path):
+    """persistent_workers (default) keeps ONE pool across __iter__ calls —
+    epoch boundaries must not respawn workers / re-pickle the dataset."""
+    out = make_mds(tmp_path, n=8)
+    ds = StreamingDataset(local=out, shuffle=False)
+    dl = DataLoader(ds, batch_size=4, drop_last=True, num_workers=2)
+    list(dl)
+    pool_first = dl._pool
+    assert pool_first is not None
+    list(dl)
+    assert dl._pool is pool_first
+    dl.close()
+    assert dl._pool is None
+    assert len(list(dl)) == 2  # usable again after close
+
+
 def test_dataloader_batches(tmp_path):
     out = make_mds(tmp_path, n=25)
 

@@ -57,3 +57,15 @@ def test_fid_clip_protocol_end_to_end(coco_mds, tmp_path):
     # metrics landed in the jsonl log too
     records = [json.loads(l) for l in open(out)]
     assert any(any("FrechetInceptionDistance" in k for k in r) for r in records)
+
+
+@pytest.mark.slow
+def test_sampling_bench_smoke():
+    """scripts/bench_sampling.py (the BASELINE.md samples/min metric) runs
+    end-to-end at tiny geometry and reports a finite positive rate."""
+    from scripts.bench_sampling import main
+
+    result = main(["--tiny", "--size", "32", "--batch", "2",
+                   "--steps", "2", "--iters", "1"])
+    assert result["metric"] == "ddim2_samples_per_min_32px"
+    assert math.isfinite(result["value"]) and result["value"] > 0
