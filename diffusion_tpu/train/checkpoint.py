@@ -24,20 +24,46 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 
 __all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint_path",
-           "checkpoint_batch"]
+           "checkpoint_batch", "finalize_pending"]
 
 _BA_RE = re.compile(r"^ba(\d+)$")
 _COMPLETE = "meta.json"  # written last => marks a complete checkpoint
 
+# One long-lived checkpointer so async saves have an owner to wait on (and
+# so repeated saves reuse orbax's worker thread instead of respawning it).
+_CKPTR = None
+# (meta_path, meta_dict) of the one in-flight async save, if any.
+_PENDING: Optional[Tuple[str, Dict[str, Any]]] = None
+
 
 def _checkpointer():
-    import orbax.checkpoint as ocp
-    return ocp.StandardCheckpointer()
+    global _CKPTR
+    if _CKPTR is None:
+        import orbax.checkpoint as ocp
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def finalize_pending() -> None:
+    """Block until the in-flight async save (if any) is durable, then write
+    its completeness marker. Raises here if the background write failed —
+    callers see the error at the next save/load/close instead of never."""
+    global _PENDING
+    if _PENDING is None:
+        return
+    meta_path, meta = _PENDING
+    _PENDING = None
+    _checkpointer().wait_until_finished()
+    if jax.process_index() == 0:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
 
 
 def save_checkpoint(save_folder: str, batch: int, train_state: Any,
                     meta: Optional[Dict[str, Any]] = None,
-                    overwrite: bool = True) -> str:
+                    overwrite: bool = True, wait: bool = True) -> str:
     """Write <folder>/ba<batch>/{state, meta.json}. Multi-host safe: orbax
     coordinates the array shards; only process 0 writes meta.json.
 
@@ -47,9 +73,18 @@ def save_checkpoint(save_folder: str, batch: int, train_state: Any,
     state (Composer's atomic-checkpoint semantics). All hosts barrier after
     the cleanup so no one starts orbax's coordinated save against a
     directory another host is still deleting. meta.json itself is written
-    via tmp+rename (atomic on POSIX)."""
+    via tmp+rename (atomic on POSIX).
+
+    wait=False returns as soon as the arrays are copied off device (orbax's
+    StandardCheckpointer async contract) and lets training overlap the disk
+    write; the marker is written by `finalize_pending()` — called here on
+    the next save, by the load/discovery paths, and by Trainer.close — so a
+    crash mid-write still leaves only an unmarked (skipped) directory. At
+    most one save is in flight."""
     from diffusion_tpu.parallel import dist
 
+    global _PENDING
+    finalize_pending()  # at most one in-flight save; also orders overwrites
     path = os.path.join(save_folder, f"ba{batch}")
     state_path = os.path.join(path, "state")
     meta_path = os.path.join(path, _COMPLETE)
@@ -68,12 +103,15 @@ def save_checkpoint(save_folder: str, batch: int, train_state: Any,
     dist.barrier("ckpt_cleanup")
     ckptr = _checkpointer()
     ckptr.save(os.path.abspath(state_path), train_state)
-    ckptr.wait_until_finished()
-    if jax.process_index() == 0:
-        tmp = meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta or {}, f)
-        os.replace(tmp, meta_path)
+    if wait:
+        ckptr.wait_until_finished()
+        if jax.process_index() == 0:
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta or {}, f)
+            os.replace(tmp, meta_path)
+    else:
+        _PENDING = (meta_path, meta or {})
     return path
 
 
@@ -85,6 +123,7 @@ def load_checkpoint(path: str, abstract_state: Any,
     partial=True restores only the subtree present in `abstract_state`
     (weights-only loads from checkpoints that carry opt/EMA state, the
     reference's `load_weights_only`, fid-clip-evaluation.py:103-105)."""
+    finalize_pending()  # an async save of this very path may be in flight
     state_path = os.path.abspath(os.path.join(path, "state"))
     if partial:
         import orbax.checkpoint as ocp
@@ -110,6 +149,7 @@ def checkpoint_batch(path: str) -> int:
 
 def latest_checkpoint_path(save_folder: str) -> Optional[str]:
     """Highest complete ba<N> under save_folder (autoresume discovery)."""
+    finalize_pending()  # in-process autoresume right after an async save
     if not save_folder or not os.path.isdir(save_folder):
         return None
     best, best_n = None, -1

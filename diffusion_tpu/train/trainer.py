@@ -84,6 +84,7 @@ class Trainer:
         save_folder: Optional[str] = None,
         save_interval: Union[str, int] = "10000ba",
         save_overwrite: bool = True,
+        async_checkpoint: bool = True,
         autoresume: bool = False,
         load_path: Optional[str] = None,
         load_weights_only: bool = False,
@@ -122,6 +123,7 @@ class Trainer:
         self.save_interval = time_to_batches(save_interval, self.max_duration,
                                              batches_per_epoch or 0)
         self.save_overwrite = save_overwrite
+        self.async_checkpoint = async_checkpoint
         self.image_size = image_size
         self.eval_num_inference_steps = eval_num_inference_steps
         self.eval_guidance_scales = tuple(
@@ -453,6 +455,7 @@ class Trainer:
 
         if self.save_folder:
             self.save_checkpoint()
+            ckpt.finalize_pending()  # final ckpt must be durable at return
         self.engine.run(Event.FIT_END, state, logger)
         logger.flush()  # metrics tail must be durable when fit returns
 
@@ -533,7 +536,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self) -> Optional[str]:
-        """Write a checkpoint with EMA weights active (reference ema.py:276-278)."""
+        """Write a checkpoint with EMA weights active (reference ema.py:276-278).
+
+        With async_checkpoint (default) this returns as soon as the state is
+        copied off device — the disk write overlaps the following train
+        steps (donation is safe: orbax owns host copies), and the
+        completeness marker lands at the next save / fit end / close. The
+        EMA swap-back below is likewise safe before the write finishes."""
         if not self.save_folder:
             return None
         state = self.state
@@ -553,7 +562,8 @@ class Trainer:
             meta["dataloader"] = self.train_dataloader.state_dict()
         path = ckpt.save_checkpoint(self.save_folder, state.timestamp.batch,
                                     state.train_state, meta,
-                                    overwrite=self.save_overwrite)
+                                    overwrite=self.save_overwrite,
+                                    wait=not self.async_checkpoint)
         if self.ema_algorithm:
             self.ema_algorithm.swap_out(state)
         self.train_state = state.train_state
@@ -614,6 +624,7 @@ class Trainer:
             self.train_state = self.state.train_state
 
     def close(self) -> None:
+        ckpt.finalize_pending()
         self.logger.close()
         # persistent-worker loaders keep a process/thread pool alive
         loaders = [self.train_dataloader] + [e.dataloader for e in self.evaluators]

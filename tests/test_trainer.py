@@ -124,6 +124,30 @@ def test_checkpoints_written(trained):
     assert os.path.exists(os.path.join(save, "ba6", "meta.json"))
 
 
+def test_async_checkpoint_marker_semantics(tmp_path):
+    """wait=False returns before the completeness marker exists (the disk
+    write overlaps training); the marker is written only by finalize — so a
+    crash mid-write leaves an unmarked dir autoresume skips — and every
+    discovery/load path finalizes first."""
+    from diffusion_tpu.train import checkpoint as ckpt
+
+    state = {"params": {"w": jnp.arange(8.0)},
+             "step": jnp.zeros((), jnp.int32)}
+    folder = str(tmp_path)
+    p1 = ckpt.save_checkpoint(folder, 1, state, {"n": 1}, wait=False)
+    assert not os.path.exists(os.path.join(p1, "meta.json"))
+    assert ckpt.latest_checkpoint_path(folder) == p1  # finalizes in-flight
+    assert os.path.exists(os.path.join(p1, "meta.json"))
+
+    p2 = ckpt.save_checkpoint(folder, 2, state, {"n": 2}, wait=False)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+    restored, meta = ckpt.load_checkpoint(p2, abstract)  # finalizes too
+    assert meta == {"n": 2}
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.arange(8.0))
+
+
 def test_autoresume_and_load_weights_only(trained):
     tr, _, save, _ = trained
     # autoresume picks up ba6 and continues to 8
