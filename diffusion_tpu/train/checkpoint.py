@@ -24,7 +24,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 
 __all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint_path",
-           "checkpoint_batch", "finalize_pending"]
+           "checkpoint_batch", "finalize_pending", "prune_checkpoints"]
 
 _BA_RE = re.compile(r"^ba(\d+)$")
 _COMPLETE = "meta.json"  # written last => marks a complete checkpoint
@@ -140,6 +140,35 @@ def load_checkpoint(path: str, abstract_state: Any,
         with open(meta_path) as f:
             meta = json.load(f)
     return restored, meta
+
+
+def prune_checkpoints(save_folder: str, keep: int) -> None:
+    """Delete the oldest checkpoints so at most `keep` remain (Composer's
+    `save_num_checkpoints_to_keep`; keep <= 0 keeps everything). Counts the
+    one possibly in-flight async save as the newest without blocking on it,
+    and only ever deletes *complete* (marked) directories — an unmarked dir
+    is either the in-flight save or a crashed write that autoresume already
+    skips. Multi-host: only process 0 deletes; no barrier needed because no
+    host will collectively write into a pruned (old) directory."""
+    if keep <= 0 or not save_folder or not os.path.isdir(save_folder):
+        return
+    complete = []
+    for name in os.listdir(save_folder):
+        m = _BA_RE.match(name)
+        if not m:
+            continue
+        full = os.path.join(save_folder, name)
+        if os.path.exists(os.path.join(full, _COMPLETE)):
+            complete.append((int(m.group(1)), full))
+    complete.sort()
+    budget = keep - (1 if _PENDING is not None else 0)
+    excess = complete[:-budget] if budget > 0 else complete
+    if jax.process_index() == 0:
+        for _, full in excess:
+            # marker first: a crash mid-rmtree leaves an unmarked dir that
+            # discovery skips, never a marker over a half-deleted state
+            os.remove(os.path.join(full, _COMPLETE))
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def checkpoint_batch(path: str) -> int:

@@ -22,7 +22,9 @@ TPU-first design:
 
 from __future__ import annotations
 
+import logging
 import os
+import signal
 import time as _time
 from typing import Any, Callable, Dict, Iterable, List, Mapping, Optional, Sequence, Tuple, Union
 
@@ -84,7 +86,10 @@ class Trainer:
         save_folder: Optional[str] = None,
         save_interval: Union[str, int] = "10000ba",
         save_overwrite: bool = True,
+        save_num_checkpoints_to_keep: int = -1,
         async_checkpoint: bool = True,
+        checkpoint_on_preemption: bool = True,
+        preempt_sync_interval: int = 25,
         autoresume: bool = False,
         load_path: Optional[str] = None,
         load_weights_only: bool = False,
@@ -123,7 +128,11 @@ class Trainer:
         self.save_interval = time_to_batches(save_interval, self.max_duration,
                                              batches_per_epoch or 0)
         self.save_overwrite = save_overwrite
+        self.save_num_checkpoints_to_keep = int(save_num_checkpoints_to_keep)
         self.async_checkpoint = async_checkpoint
+        self.checkpoint_on_preemption = checkpoint_on_preemption
+        self.preempt_sync_interval = max(1, int(preempt_sync_interval))
+        self._preempt_requested = False
         self.image_size = image_size
         self.eval_num_inference_steps = eval_num_inference_steps
         self.eval_guidance_scales = tuple(
@@ -369,10 +378,45 @@ class Trainer:
             n = _leading_dim(host_batch)
             yield make_global_batch(dict(host_batch), self.mesh), n
 
+    def _stop_for_preemption(self, batch: int) -> bool:
+        """True when training should checkpoint-and-exit for a preemption.
+
+        TPU pods are preemptible; the scheduler delivers SIGTERM ahead of
+        eviction. Single-host acts on the local flag immediately. Multi-host
+        only acts on *synced* decisions (an allgather of the flag every
+        `preempt_sync_interval` batches) so every host leaves the step loop
+        at the same batch and enters orbax's collective save together —
+        acting on a local flag alone would desync the collectives."""
+        if not (self.checkpoint_on_preemption and self.save_folder):
+            return False
+        if jax.process_count() == 1:
+            return self._preempt_requested
+        if batch % self.preempt_sync_interval != 0:
+            return False
+        from jax.experimental import multihost_utils
+        flags = multihost_utils.process_allgather(
+            np.asarray([self._preempt_requested]))
+        return bool(np.asarray(flags).any())
+
     def fit(self) -> None:
         if self.train_dataloader is None:
             raise ValueError("fit() requires a train_dataloader")
         state, logger = self.state, self.logger
+        prev_sigterm = None
+        if self.checkpoint_on_preemption and self.save_folder:
+            try:
+                prev_sigterm = signal.signal(
+                    signal.SIGTERM,
+                    lambda s, f: setattr(self, "_preempt_requested", True))
+            except ValueError:
+                pass  # not the main thread (embedded/test harnesses)
+        try:
+            self._fit(state, logger)
+        finally:
+            if prev_sigterm is not None:
+                signal.signal(signal.SIGTERM, prev_sigterm)
+
+    def _fit(self, state, logger) -> None:
         self.engine.run(Event.FIT_START, state, logger)
         fit_start = _time.monotonic()
         last_batch_end = fit_start
@@ -447,8 +491,16 @@ class Trainer:
                         and b % self.save_interval == 0:
                     self.save_checkpoint()
                 self.engine.run(Event.BATCH_CHECKPOINT, state, logger)
+                if self._stop_for_preemption(b):
+                    break
             if not epoch_had_batches:
                 raise RuntimeError("train_dataloader yielded no batches")
+            if self._stop_for_preemption(state.timestamp.batch):
+                logging.getLogger(__name__).warning(
+                    "SIGTERM received: checkpointing at ba%d and exiting "
+                    "(autoresume will continue from here)",
+                    state.timestamp.batch)
+                break
             state.timestamp.to_next_epoch()
             self.engine.run(Event.EPOCH_END, state, logger)
             self.engine.run(Event.EPOCH_CHECKPOINT, state, logger)
@@ -567,6 +619,10 @@ class Trainer:
         if self.ema_algorithm:
             self.ema_algorithm.swap_out(state)
         self.train_state = state.train_state
+        # retention (Composer save_num_checkpoints_to_keep): never blocks on
+        # the async write — the in-flight save counts as the newest
+        ckpt.prune_checkpoints(self.save_folder,
+                               self.save_num_checkpoints_to_keep)
         return path
 
     def _abstract_train_state(self):

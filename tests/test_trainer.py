@@ -148,6 +148,72 @@ def test_async_checkpoint_marker_semantics(tmp_path):
                                   np.arange(8.0))
 
 
+def test_prune_checkpoints_retention(tmp_path):
+    """save_num_checkpoints_to_keep semantics: oldest complete dirs are
+    deleted down to the budget; the in-flight async save counts as newest
+    without being blocked on; unmarked (crashed) dirs are never touched."""
+    from diffusion_tpu.train import checkpoint as ckpt
+
+    state = {"w": jnp.arange(4.0)}
+    folder = str(tmp_path)
+    for ba in (1, 2, 3):
+        ckpt.save_checkpoint(folder, ba, state, {"n": ba})
+    os.makedirs(os.path.join(folder, "ba99", "state"))  # crashed write
+    ckpt.prune_checkpoints(folder, keep=2)
+    assert sorted(d for d in os.listdir(folder) if d.startswith("ba")) == [
+        "ba2", "ba3", "ba99"]
+
+    # async save in flight: counts toward the budget, survives pruning
+    ckpt.save_checkpoint(folder, 4, state, {"n": 4}, wait=False)
+    ckpt.prune_checkpoints(folder, keep=2)
+    ckpt.finalize_pending()
+    assert ckpt.latest_checkpoint_path(folder).endswith("ba4")
+    assert not os.path.exists(os.path.join(folder, "ba2"))
+    assert os.path.exists(os.path.join(folder, "ba3", "meta.json"))
+
+    ckpt.prune_checkpoints(folder, keep=-1)  # keep-all is a no-op
+    assert os.path.exists(os.path.join(folder, "ba3"))
+
+
+def test_sigterm_checkpoints_and_exits(tmp_path):
+    """A SIGTERM mid-fit (pod preemption notice) stops the step loop at the
+    next batch boundary, writes a durable checkpoint at that batch, and a
+    fresh autoresume trainer continues to completion from it."""
+    import signal as _signal
+
+    class Preemptor(Callback):
+        def run_event(self, event, state, logger):
+            if event == Event.BATCH_END and state.timestamp.batch == 2:
+                os.kill(os.getpid(), _signal.SIGTERM)
+
+    save = str(tmp_path / "ckpts")
+
+    def build(cbs=()):
+        return Trainer(
+            model=tiny_stable_diffusion(),
+            train_dataloader=make_loader(n_batches=8),
+            optimizers=adamw(lr=1e-3),
+            callbacks=list(cbs),
+            max_duration="6ba",
+            image_size=SIZE,
+            save_folder=save,
+            save_interval="100ba",
+            eval_interval="0ba",
+            autoresume=True,
+            fsdp_config={"min_params": 0},
+        )
+
+    tr = build([Preemptor()])
+    tr.fit()  # returns instead of dying mid-write
+    assert tr.state.timestamp.batch == 2
+    assert os.path.exists(os.path.join(save, "ba2", "meta.json"))
+
+    resumed = build()
+    assert resumed.state.timestamp.batch == 2  # picked up the preempt ckpt
+    resumed.fit()
+    assert resumed.state.timestamp.batch == 6
+
+
 def test_autoresume_and_load_weights_only(trained):
     tr, _, save, _ = trained
     # autoresume picks up ba6 and continues to 8

@@ -211,6 +211,25 @@ def test_mosaic_dialect_yaml(fixtures):
     ])
 
 
+@pytest.mark.slow
+def test_mosaic_dialect_512_yaml(fixtures):
+    """The mcli-dialect 512 job spec composes, including its EMA block
+    (reference yamls/mosaic-yamls/SD-2-base-512.yaml:28-33)."""
+    _build(os.path.join(YAML_DIR, "mosaic", "SD-2-base-512.yaml"),
+           BASE_OVERRIDES + [
+        "model.precomputed_latents=false",
+        "dataset.train_dataset.precomputed_latents=false",
+        f"dataset.train_dataset.remote={fixtures['laion']}",
+        "dataset.train_dataset.num_workers=1",
+        "dataset.train_dataset.resize_size=32",
+        f"dataset.eval_dataset.remote={fixtures['coco']}",
+        "dataset.eval_dataset.num_workers=1",
+        "dataset.eval_dataset.resize_size=32",
+        "trainer.image_size=32",
+        "algorithms.ema.ema_start=0ba",
+    ])
+
+
 def test_eval_and_inference_yamls_parse():
     """Job-spec yamls (reference yamls/mosaic-yamls/eval.yaml,
     diffusion/inference/mosaic_inference.yaml) parse and carry the keys a
