@@ -44,7 +44,9 @@ class StableDiffusionInference:
                  model_name: Optional[str] = None,
                  pretrained: bool = False,
                  default_size: int = 512, seed: int = 0,
+                 pad_to_bucket: bool = True,
                  builder: Any = None, **model_kwargs: Any):
+        self.pad_to_bucket = pad_to_bucket
         builder = builder or stable_diffusion_2
         self.model = builder(model_name=model_name, pretrained=pretrained,
                              fsdp=False, **model_kwargs)
@@ -100,9 +102,10 @@ class StableDiffusionInference:
                 guidance_scale=scale, num_inference_steps=steps))
         return self._gen_cache[key]
 
-    def predict(self, **inputs: Any) -> List[str]:
-        """Inputs (reference :49-58): prompt (str|list), negative_prompt,
-        height, width, num_inference_steps, guidance_scale, seed."""
+    @staticmethod
+    def _parse(inputs: Dict[str, Any], default_size: int, default_seed: int):
+        """-> (prompts, negatives_or_None, config_key). The key is what must
+        match for two requests to share one device program invocation."""
         prompt = inputs.get("prompt")
         if not prompt:
             raise ValueError("prompt required")
@@ -110,17 +113,64 @@ class StableDiffusionInference:
         negative = inputs.get("negative_prompt")
         negatives = ([negative] * len(prompts) if isinstance(negative, str)
                      else negative)
-        height = int(inputs.get("height", self.default_size))
-        width = int(inputs.get("width", self.default_size))
-        steps = int(inputs.get("num_inference_steps", 50))
-        scale = float(inputs.get("guidance_scale", 7.5))
-        seed = int(inputs.get("seed", self.seed))
+        if negatives is not None and len(negatives) != len(prompts):
+            raise ValueError("negative_prompt count != prompt count")
+        key = (int(inputs.get("num_inference_steps", 50)),
+               int(inputs.get("height", default_size)),
+               int(inputs.get("width", default_size)),
+               float(inputs.get("guidance_scale", 7.5)),
+               int(inputs.get("seed", default_seed)),
+               negatives is not None)
+        return prompts, negatives, key
 
+    def batch_key(self, inputs: Dict[str, Any]) -> tuple:
+        """Requests with equal keys are mergeable into one generate call
+        (same sampling program AND same RNG seed — merging across seeds
+        would silently change which noise stream each sample draws)."""
+        return self._parse(inputs, self.default_size, self.seed)[2]
+
+    def predict_many(self, requests: List[Dict[str, Any]]) -> List[List[str]]:
+        """One device dispatch for several /predict requests (server-side
+        dynamic batching — beyond the reference's one-request-at-a-time
+        handler, inference_model.py:49-76). All requests must share
+        `batch_key`; prompts are concatenated, padded up to the next
+        power-of-two bucket so distinct request counts reuse the same
+        compiled program (a recompile costs tens of seconds on TPU, padding
+        costs one extra row of MXU work), generated in one call, and sliced
+        back per request. Note: samples draw from the batch's RNG stream,
+        so a request's images depend on the co-batched batch shape — byte
+        stability across different batchings is not promised (seed is)."""
+        if not requests:
+            return []
+        parsed = [self._parse(r, self.default_size, self.seed)
+                  for r in requests]
+        keys = {p[2] for p in parsed}
+        if len(keys) > 1:
+            raise ValueError(f"unmergeable requests: {sorted(keys)}")
+        steps, height, width, scale, seed, has_neg = parsed[0][2]
+        prompts = [p for pr, _, _ in parsed for p in pr]
+        negatives = ([n for _, ng, _ in parsed for n in ng]
+                     if has_neg else None)
+        n = len(prompts)
+        padded = max(1, 1 << (n - 1).bit_length()) if self.pad_to_bucket else n
         tok = self.model.tokenizer
-        prompt_ids = jnp.asarray(tok(prompts)["input_ids"])
-        negative_ids = (jnp.asarray(tok(negatives)["input_ids"])
-                        if negatives else None)
+        prompt_ids = jnp.asarray(
+            tok(prompts + [prompts[-1]] * (padded - n))["input_ids"])
+        negative_ids = (jnp.asarray(
+            tok(negatives + [negatives[-1]] * (padded - n))["input_ids"])
+            if has_neg else None)
         images = self._gen_fn(steps, height, width, scale)(
             self.params, self.frozen, prompt_ids, negative_ids=negative_ids,
             seed=seed)
-        return [image_to_base64_png(img) for img in np.asarray(images)]
+        encoded = [image_to_base64_png(img)
+                   for img in np.asarray(images[:n])]
+        out, i = [], 0
+        for pr, _, _ in parsed:
+            out.append(encoded[i:i + len(pr)])
+            i += len(pr)
+        return out
+
+    def predict(self, **inputs: Any) -> List[str]:
+        """Inputs (reference :49-58): prompt (str|list), negative_prompt,
+        height, width, num_inference_steps, guidance_scale, seed."""
+        return self.predict_many([inputs])[0]

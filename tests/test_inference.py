@@ -51,6 +51,68 @@ def test_predict_requires_prompt(endpoint):
         endpoint.predict(guidance_scale=1.0)
 
 
+def test_predict_many_merges_and_slices(endpoint):
+    """Several mergeable requests run as ONE padded dispatch and slice back
+    per request; unmergeable configs are rejected loudly."""
+    reqs = [{"prompt": "a", "num_inference_steps": 1, "guidance_scale": 1.0},
+            {"prompt": ["b", "c"], "num_inference_steps": 1,
+             "guidance_scale": 1.0},
+            {"prompt": "d", "num_inference_steps": 1, "guidance_scale": 1.0}]
+    out = endpoint.predict_many(reqs)
+    assert [len(o) for o in out] == [1, 2, 1]
+    for o in out:
+        for b64 in o:
+            assert _decode_png(b64).shape == (32, 32, 3)
+
+    with pytest.raises(ValueError, match="unmergeable"):
+        endpoint.predict_many([
+            {"prompt": "a", "num_inference_steps": 1},
+            {"prompt": "b", "num_inference_steps": 2}])
+
+
+def test_batch_key_groups_by_config(endpoint):
+    k1 = endpoint.batch_key({"prompt": "a", "num_inference_steps": 2})
+    k2 = endpoint.batch_key({"prompt": "zzz", "num_inference_steps": 2})
+    k3 = endpoint.batch_key({"prompt": "a", "num_inference_steps": 2,
+                             "seed": 9})
+    assert k1 == k2          # prompts don't block merging
+    assert k1 != k3          # different RNG stream must not merge
+
+
+def test_batcher_coalesces_concurrent_requests(endpoint):
+    """Concurrent submits with one config produce one predict_many call
+    (chip dispatch), and every caller gets its own images."""
+    from diffusion_tpu.inference.serve import Batcher
+
+    calls = []
+    real = endpoint.predict_many
+
+    def spy(reqs):
+        calls.append(len(reqs))
+        return real(reqs)
+
+    endpoint.predict_many = spy
+    try:
+        b = Batcher(endpoint, max_batch_size=4, batch_wait_ms=300.0)
+        results = [None] * 3
+
+        def run(i):
+            results[i] = b.submit({"prompt": f"p{i}",
+                                   "num_inference_steps": 1,
+                                   "guidance_scale": 1.0})
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert all(r and len(r) == 1 for r in results)
+        # all three rode one dispatch (or at worst two if a thread raced
+        # past the linger window — never three)
+        assert sum(calls) == 3 and len(calls) <= 2
+    finally:
+        endpoint.predict_many = real
+
+
 def test_http_server(endpoint):
     server = make_server(endpoint, host="127.0.0.1", port=0)
     port = server.server_address[1]
