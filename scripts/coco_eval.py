@@ -13,7 +13,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def main(argv=None) -> dict:
     p = argparse.ArgumentParser()
     p.add_argument("--remote", required=True)
     p.add_argument("--local", default=None)
@@ -23,11 +23,17 @@ def main() -> None:
     p.add_argument("--guidance_scales", type=float, nargs="+",
                    default=[1.0, 3.0, 7.0])
     p.add_argument("--subset_num_batches", type=int, default=-1)
+    p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--tokenizer", default=None)
-    args = p.parse_args()
+    p.add_argument("--builder",
+                   default="diffusion_tpu.models.models.stable_diffusion_2",
+                   help="model builder dotted path (the tiny builder makes "
+                        "the multi-scale protocol runnable at CI size)")
+    p.add_argument("--allow_random_towers", action="store_true")
+    args = p.parse_args(argv)
 
+    from diffusion_tpu.config.loader import _import_target
     from diffusion_tpu.data.coco import build_streaming_cocoval_dataloader
-    from diffusion_tpu.models.models import stable_diffusion_2
     from diffusion_tpu.parallel import dist
     from diffusion_tpu.train.trainer import Evaluator, Trainer
     from diffusion_tpu.utils.logging import ConsoleLogger
@@ -36,9 +42,10 @@ def main() -> None:
     loader = build_streaming_cocoval_dataloader(
         remote=args.remote, local=args.local, batch_size=args.batch_size,
         resize_size=args.size, tokenizer_name_or_path=args.tokenizer)
-    model = stable_diffusion_2(
+    model = _import_target(args.builder)(
         model_name=args.tokenizer, pretrained=False,
         val_metrics=["FrechetInceptionDistance", "CLIPScore"],
+        allow_random_tower_weights=args.allow_random_towers,
         val_guidance_scales=list(args.guidance_scales))
     trainer = Trainer(
         model=model,
@@ -46,10 +53,12 @@ def main() -> None:
         loggers=[ConsoleLogger(log_interval=1)],
         load_path=args.load_path, load_weights_only=True,
         image_size=args.size, max_duration="1ba",
-        eval_subset_num_batches=args.subset_num_batches)
+        eval_subset_num_batches=args.subset_num_batches,
+        eval_num_inference_steps=args.num_inference_steps)
     results = trainer.eval()
     for k, v in sorted(results.items()):
         print(f"{k}: {v}")
+    return results
 
 
 if __name__ == "__main__":

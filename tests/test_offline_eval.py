@@ -31,6 +31,29 @@ def coco_mds(tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_coco_eval_multiscale_wrapper(coco_mds):
+    """The multi-scale wrapper (reference scripts/coco_eval.py / README
+    protocol table) runs its whole main(): per-scale FID+CLIPScore out."""
+    from scripts.coco_eval import main
+
+    results = main([
+        "--remote", coco_mds,
+        "--builder", "diffusion_tpu.models.models.stable_diffusion_tiny",
+        "--allow_random_towers",
+        "--size", "32",
+        "--batch_size", "8",
+        "--guidance_scales", "1.0", "3.0",
+        "--subset_num_batches", "1",
+        "--num_inference_steps", "2",
+    ])
+    for scale in ("1p0", "3p0"):
+        keys = [k for k in results if k.endswith(f"scale-{scale}")
+                and "FrechetInceptionDistance" in k]
+        assert keys, (scale, sorted(results))
+        assert all(math.isfinite(float(results[k])) for k in keys)
+
+
+@pytest.mark.slow
 def test_fid_clip_protocol_end_to_end(coco_mds, tmp_path):
     from scripts.fid_clip_evaluation import main
 
