@@ -26,10 +26,23 @@ __all__ = ["SpeedMonitor", "LRMonitor", "MemoryMonitor", "RuntimeEstimator",
 
 
 class SpeedMonitor(Callback):
-    """samples/sec over a rolling window (+ per-device), logged per batch."""
+    """samples/sec over a rolling window (+ per-device), logged per batch.
 
-    def __init__(self, window_size: int = 10):
+    With `flops_per_batch` (a number, measured via
+    `diffusion_tpu.utils.flops.lowered_flops` or Composer-style
+    hand-derived) it also logs `throughput/flops_per_sec` and — when the
+    device's bf16 peak is known or `peak_tflops_per_device` is given —
+    `throughput/device/mfu` (composer.callbacks.speed_monitor parity)."""
+
+    def __init__(self, window_size: int = 10,
+                 flops_per_batch: Optional[float] = None,
+                 peak_tflops_per_device: Optional[float] = None):
         self.window: Deque[Tuple[float, int]] = collections.deque(maxlen=window_size)
+        # float() so yaml/CLI strings like "1.1e8" work
+        self.flops_per_batch = (float(flops_per_batch)
+                                if flops_per_batch else None)
+        self._peak = (float(peak_tflops_per_device) * 1e12
+                      if peak_tflops_per_device else None)
 
     def batch_end(self, state, logger):
         self.window.append((state.batch_wct, state.timestamp.sample))
@@ -43,12 +56,24 @@ class SpeedMonitor(Callback):
             return
         sps = samples / wct
         n_dev = jax.device_count()
-        logger.log_metrics({
+        metrics = {
             "throughput/samples_per_sec": sps,
             "throughput/device/samples_per_sec": sps / max(n_dev, 1),
             "throughput/batches_per_sec": (len(self.window) - 1) / wct,
             "wall_clock/train": state.total_wct,
-        }, step=state.timestamp.batch)
+        }
+        if self.flops_per_batch:
+            fps = self.flops_per_batch * metrics["throughput/batches_per_sec"]
+            metrics["throughput/flops_per_sec"] = fps
+            if self._peak is None:
+                from diffusion_tpu.utils.flops import device_peak_flops
+                self._peak = device_peak_flops()
+                if self._peak is None:
+                    self._peak = 0.0  # unknown device: probe once, then skip
+            if self._peak:
+                metrics["throughput/device/mfu"] = (
+                    fps / max(n_dev, 1) / self._peak)
+        logger.log_metrics(metrics, step=state.timestamp.batch)
 
 
 class LRMonitor(Callback):
