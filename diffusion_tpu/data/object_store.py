@@ -102,6 +102,38 @@ class ObjectStore:
 
         return retry(_once, max_tries=self.download_retry + 1)
 
+    def list_prefix(self, uri: str) -> list:
+        """Object keys under `uri`, relative to it (recursive). Local paths
+        walk the directory; s3/gs paginate the prefix. Missing prefix -> []."""
+
+        def _once() -> list:
+            if uri.startswith("s3://"):
+                bucket, _, prefix = uri[5:].partition("/")
+                prefix = prefix.rstrip("/") + "/"
+                keys = []
+                paginator = self._s3_client().get_paginator("list_objects_v2")
+                for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
+                    keys += [o["Key"][len(prefix):]
+                             for o in page.get("Contents", [])]
+                return keys
+            if uri.startswith("gs://"):
+                bucket, _, prefix = uri[5:].partition("/")
+                prefix = prefix.rstrip("/") + "/"
+                blobs = self._gcs_client().bucket(bucket).list_blobs(
+                    prefix=prefix)
+                return [b.name[len(prefix):] for b in blobs]
+            root = os.path.abspath(uri)
+            if not os.path.isdir(root):
+                return []
+            out = []
+            for dirpath, _, files in os.walk(root):
+                for f in files:
+                    out.append(os.path.relpath(os.path.join(dirpath, f),
+                                               root))
+            return out
+
+        return retry(_once, max_tries=self.download_retry + 1)
+
     def upload(self, local_path: str, uri: str) -> str:
         """Upload a local file to s3://, gs://, or a local destination path
         (the reference cloudwriter writes MDS shards straight to remote

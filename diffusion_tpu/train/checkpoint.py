@@ -24,7 +24,8 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 
 __all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint_path",
-           "checkpoint_batch", "finalize_pending", "prune_checkpoints"]
+           "checkpoint_batch", "finalize_pending", "prune_checkpoints",
+           "sync_from_remote", "drain_remote_uploads"]
 
 _BA_RE = re.compile(r"^ba(\d+)$")
 _COMPLETE = "meta.json"  # written last => marks a complete checkpoint
@@ -32,8 +33,67 @@ _COMPLETE = "meta.json"  # written last => marks a complete checkpoint
 # One long-lived checkpointer so async saves have an owner to wait on (and
 # so repeated saves reuse orbax's worker thread instead of respawning it).
 _CKPTR = None
-# (meta_path, meta_dict) of the one in-flight async save, if any.
-_PENDING: Optional[Tuple[str, Dict[str, Any]]] = None
+# (meta_path, meta_dict, remote_dir|None) of the one in-flight async save.
+_PENDING: Optional[Tuple[str, Dict[str, Any], Optional[str]]] = None
+# In-flight background upload of the previous checkpoint, if any.
+_UPLOAD = None
+
+
+def _upload_dir(local_dir: str, remote_dir: str) -> None:
+    """Mirror a complete checkpoint dir to the remote. The completeness
+    marker uploads LAST so a remote reader applies the same is-it-complete
+    rule as a local one (reference: the trainer's save_folder may be a
+    bucket, yamls 'Insert path to save folder or bucket')."""
+    from diffusion_tpu.data.object_store import ObjectStore
+    store = ObjectStore()
+    marker = None
+    for dirpath, _, files in os.walk(local_dir):
+        for f in files:
+            src = os.path.join(dirpath, f)
+            rel = os.path.relpath(src, local_dir)
+            if rel == _COMPLETE:
+                marker = src
+                continue
+            store.upload(src, f"{remote_dir.rstrip('/')}/{rel}")
+    if marker is not None:
+        store.upload(marker, f"{remote_dir.rstrip('/')}/{_COMPLETE}")
+
+
+def _drain_upload() -> None:
+    """Wait for the in-flight background upload; raise if it failed (the
+    error surfaces at the next save/load/close, never silently)."""
+    global _UPLOAD
+    if _UPLOAD is None:
+        return
+    t, errbox = _UPLOAD
+    _UPLOAD = None
+    t.join()
+    if errbox:
+        raise errbox[0]
+
+
+def drain_remote_uploads() -> None:
+    """Block until the background remote upload (if any) is done; raise its
+    error. Call before process exit — a durable *remote* checkpoint is the
+    contract when save_remote is configured."""
+    _drain_upload()
+
+
+def _start_upload(local_dir: str, remote_dir: str) -> None:
+    global _UPLOAD
+    _drain_upload()  # one at a time, surface previous failures
+    import threading
+    errbox: list = []
+
+    def run():
+        try:
+            _upload_dir(local_dir, remote_dir)
+        except BaseException as e:  # noqa: BLE001 — re-raised at drain
+            errbox.append(e)
+
+    t = threading.Thread(target=run, daemon=True, name="ckpt-upload")
+    t.start()
+    _UPLOAD = (t, errbox)
 
 
 def _checkpointer():
@@ -46,12 +106,14 @@ def _checkpointer():
 
 def finalize_pending() -> None:
     """Block until the in-flight async save (if any) is durable, then write
-    its completeness marker. Raises here if the background write failed —
-    callers see the error at the next save/load/close instead of never."""
+    its completeness marker (and kick off the remote upload when one is
+    configured). Raises here if the background write failed — callers see
+    the error at the next save/load/close instead of never."""
     global _PENDING
     if _PENDING is None:
+        _drain_upload()
         return
-    meta_path, meta = _PENDING
+    meta_path, meta, remote = _PENDING
     _PENDING = None
     _checkpointer().wait_until_finished()
     if jax.process_index() == 0:
@@ -59,11 +121,17 @@ def finalize_pending() -> None:
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, meta_path)
+        if remote:
+            local_dir = os.path.dirname(meta_path)
+            _start_upload(local_dir,
+                          f"{remote.rstrip('/')}/"
+                          f"{os.path.basename(local_dir)}")
 
 
 def save_checkpoint(save_folder: str, batch: int, train_state: Any,
                     meta: Optional[Dict[str, Any]] = None,
-                    overwrite: bool = True, wait: bool = True) -> str:
+                    overwrite: bool = True, wait: bool = True,
+                    remote: Optional[str] = None) -> str:
     """Write <folder>/ba<batch>/{state, meta.json}. Multi-host safe: orbax
     coordinates the array shards; only process 0 writes meta.json.
 
@@ -110,8 +178,11 @@ def save_checkpoint(save_folder: str, batch: int, train_state: Any,
             with open(tmp, "w") as f:
                 json.dump(meta or {}, f)
             os.replace(tmp, meta_path)
+            if remote:
+                _start_upload(path,
+                              f"{remote.rstrip('/')}/{os.path.basename(path)}")
     else:
-        _PENDING = (meta_path, meta or {})
+        _PENDING = (meta_path, meta or {}, remote)
     return path
 
 
@@ -174,6 +245,40 @@ def prune_checkpoints(save_folder: str, keep: int) -> None:
 def checkpoint_batch(path: str) -> int:
     m = _BA_RE.match(os.path.basename(os.path.normpath(path)))
     return int(m.group(1)) if m else -1
+
+
+def sync_from_remote(save_folder: str, remote: str) -> Optional[str]:
+    """Make the newest *remote* checkpoint available locally (autoresume on
+    a fresh host: the reference trains with bucket save_folders, so resume
+    must not depend on local disk surviving). Downloads only when the remote
+    has a complete ba<N> newer than the local latest; marker lands last so a
+    partially-downloaded dir is skipped like a partially-written one.
+    Returns the local path of the downloaded dir, or None if local is
+    already current. Only process 0 downloads; callers barrier after."""
+    finalize_pending()
+    from diffusion_tpu.data.object_store import ObjectStore
+    store = ObjectStore()
+    keys = store.list_prefix(remote)
+    best_n, best_name = -1, None
+    for k in keys:
+        parts = k.replace("\\", "/").split("/")
+        if len(parts) == 2 and parts[1] == _COMPLETE:
+            m = _BA_RE.match(parts[0])
+            if m and int(m.group(1)) > best_n:
+                best_n, best_name = int(m.group(1)), parts[0]
+    if best_name is None:
+        return None
+    local_latest = latest_checkpoint_path(save_folder)
+    if local_latest is not None and checkpoint_batch(local_latest) >= best_n:
+        return None
+    dest = os.path.join(save_folder, best_name)
+    if jax.process_index() == 0:
+        prefix = f"{remote.rstrip('/')}/{best_name}/"
+        files = [k.split("/", 1)[1] for k in keys
+                 if k.replace("\\", "/").startswith(best_name + "/")]
+        for rel in sorted(files, key=lambda r: r == _COMPLETE):  # marker last
+            store.download(prefix + rel, os.path.join(dest, rel))
+    return dest
 
 
 def latest_checkpoint_path(save_folder: str) -> Optional[str]:

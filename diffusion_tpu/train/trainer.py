@@ -35,6 +35,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from diffusion_tpu.algorithms.ema import EMA, apply_ema, ema_smoothing_for_step
+from diffusion_tpu.parallel import dist
 from diffusion_tpu.parallel.mesh import create_mesh
 from diffusion_tpu.parallel.sharding import (activation_mesh, batch_spec,
                                              make_global_batch,
@@ -84,6 +85,7 @@ class Trainer:
         seed: int = 17,
         scale_schedule_ratio: float = 1.0,
         save_folder: Optional[str] = None,
+        save_remote: Optional[str] = None,
         save_interval: Union[str, int] = "10000ba",
         save_overwrite: bool = True,
         save_num_checkpoints_to_keep: int = -1,
@@ -125,6 +127,7 @@ class Trainer:
         self.eval_interval = time_to_batches(eval_interval, self.max_duration,
                                              batches_per_epoch or 0)
         self.save_folder = save_folder
+        self.save_remote = save_remote
         self.save_interval = time_to_batches(save_interval, self.max_duration,
                                              batches_per_epoch or 0)
         self.save_overwrite = save_overwrite
@@ -508,6 +511,7 @@ class Trainer:
         if self.save_folder:
             self.save_checkpoint()
             ckpt.finalize_pending()  # final ckpt must be durable at return
+            ckpt.drain_remote_uploads()  # incl. its remote mirror
         self.engine.run(Event.FIT_END, state, logger)
         logger.flush()  # metrics tail must be durable when fit returns
 
@@ -615,7 +619,8 @@ class Trainer:
         path = ckpt.save_checkpoint(self.save_folder, state.timestamp.batch,
                                     state.train_state, meta,
                                     overwrite=self.save_overwrite,
-                                    wait=not self.async_checkpoint)
+                                    wait=not self.async_checkpoint,
+                                    remote=self.save_remote)
         if self.ema_algorithm:
             self.ema_algorithm.swap_out(state)
         self.train_state = state.train_state
@@ -648,6 +653,10 @@ class Trainer:
                        load_weights_only: bool) -> None:
         path = None
         if autoresume and self.save_folder:
+            if self.save_remote:
+                # fresh host: the newest checkpoint may only exist remotely
+                ckpt.sync_from_remote(self.save_folder, self.save_remote)
+                dist.barrier("ckpt_remote_sync")
             path = ckpt.latest_checkpoint_path(self.save_folder)
         if path is None and load_path:
             path = load_path
@@ -681,6 +690,7 @@ class Trainer:
 
     def close(self) -> None:
         ckpt.finalize_pending()
+        ckpt.drain_remote_uploads()
         self.logger.close()
         # persistent-worker loaders keep a process/thread pool alive
         loaders = [self.train_dataloader] + [e.dataloader for e in self.evaluators]

@@ -214,6 +214,62 @@ def test_sigterm_checkpoints_and_exits(tmp_path):
     assert resumed.state.timestamp.batch == 6
 
 
+def test_remote_checkpoint_mirror_and_resume(tmp_path):
+    """save_remote mirrors each finalized checkpoint to an object-store URI
+    (local-path backend here); a fresh host with an EMPTY local save_folder
+    autoresumes from the remote copy (sync_from_remote downloads, marker
+    last)."""
+    from diffusion_tpu.train import checkpoint as ckpt
+
+    local = str(tmp_path / "local")
+    remote = str(tmp_path / "bucket" / "run1")
+    state = {"w": jnp.arange(6.0), "step": jnp.zeros((), jnp.int32)}
+    ckpt.save_checkpoint(local, 3, state, {"n": 3}, wait=False, remote=remote)
+    ckpt.finalize_pending()
+    ckpt.drain_remote_uploads()
+    assert os.path.exists(os.path.join(remote, "ba3", "meta.json"))
+
+    fresh = str(tmp_path / "fresh_host")
+    got = ckpt.sync_from_remote(fresh, remote)
+    assert got == os.path.join(fresh, "ba3")
+    assert ckpt.latest_checkpoint_path(fresh) == got
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+    restored, meta = ckpt.load_checkpoint(got, abstract)
+    assert meta == {"n": 3}
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(6.0))
+    # already current -> no re-download
+    assert ckpt.sync_from_remote(fresh, remote) is None
+
+
+def test_trainer_autoresume_from_remote_only(tmp_path):
+    """End-to-end: train with save_remote, lose the local folder entirely,
+    autoresume on a 'new host' — the trainer pulls the remote checkpoint."""
+    remote = str(tmp_path / "bucket")
+
+    def build(folder):
+        return Trainer(
+            model=tiny_stable_diffusion(),
+            train_dataloader=make_loader(),
+            optimizers=adamw(lr=1e-3),
+            max_duration="2ba",
+            image_size=SIZE,
+            save_folder=folder,
+            save_remote=remote,
+            save_interval="2ba",
+            eval_interval="0ba",
+            autoresume=True,
+            fsdp_config={"min_params": 0},
+        )
+
+    tr = build(str(tmp_path / "host_a"))
+    tr.fit()
+    assert os.path.exists(os.path.join(remote, "ba2", "meta.json"))
+
+    tr2 = build(str(tmp_path / "host_b"))  # empty local save_folder
+    assert tr2.state.timestamp.batch == 2  # resumed from the remote mirror
+
+
 def test_autoresume_and_load_weights_only(trained):
     tr, _, save, _ = trained
     # autoresume picks up ba6 and continues to 8
