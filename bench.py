@@ -20,6 +20,7 @@ import json
 import os
 import sys
 import time
+from typing import Optional
 
 
 def default_batch_per_chip(res: int) -> int:
@@ -478,6 +479,38 @@ def e2e_bench(res: int, steps: int = 24, skip: int = 4) -> dict:
     }
 
 
+def wait_for_backend(max_wait_s: Optional[float] = None) -> None:
+    """Block until the TPU backend initializes. The axon relay occasionally
+    wedges (backend init raises UNAVAILABLE) and recovers by itself in
+    10-30 min; probing in a SUBPROCESS avoids poisoning this process's
+    jax backend cache with the failure. No-op once a probe succeeds."""
+    import subprocess
+
+    max_wait_s = max_wait_s if max_wait_s is not None else float(
+        os.environ.get("BENCH_WAIT_BACKEND_S", "1800"))
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.device_count()"],
+                capture_output=True, timeout=max(60, min(600, max_wait_s)))
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False  # a wedged relay HANGS init rather than failing it
+        if ok:
+            return
+        if time.monotonic() >= deadline:
+            sys.stderr.write(f"backend still unavailable after {attempt} "
+                             f"probes / {max_wait_s:.0f}s; proceeding (will "
+                             f"likely fail loudly)\n")
+            return
+        sys.stderr.write(f"backend unavailable (probe {attempt}); retrying "
+                         f"in 120s\n")
+        time.sleep(120)
+
+
 def main() -> None:
     import os
 
@@ -486,6 +519,7 @@ def main() -> None:
         # input-pipeline-only mode: host decode throughput, no TPU
         print(json.dumps(data_bench(res)))
         return
+    wait_for_backend()
     result = step_bench()
     # the online-encode step bench is a different pipeline from the
     # precomputed-path e2e bench; step_bench already tags its metric

@@ -220,7 +220,9 @@ def prune_checkpoints(save_folder: str, keep: int) -> None:
     and only ever deletes *complete* (marked) directories — an unmarked dir
     is either the in-flight save or a crashed write that autoresume already
     skips. Multi-host: only process 0 deletes; no barrier needed because no
-    host will collectively write into a pruned (old) directory."""
+    host will collectively write into a pruned (old) directory. Remote
+    mirrors (save_remote) are NOT pruned — the bucket is the durable
+    history; apply lifecycle rules there."""
     if keep <= 0 or not save_folder or not os.path.isdir(save_folder):
         return
     complete = []

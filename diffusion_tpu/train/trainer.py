@@ -405,6 +405,7 @@ class Trainer:
         if self.train_dataloader is None:
             raise ValueError("fit() requires a train_dataloader")
         state, logger = self.state, self.logger
+        self._preempt_requested = False  # a prior preempted fit() ended here
         prev_sigterm = None
         if self.checkpoint_on_preemption and self.save_folder:
             try:
