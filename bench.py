@@ -82,18 +82,24 @@ def step_bench() -> dict:
     # the jitted step (reference README.md:52 prices this at 1.4x the
     # precomputed cost; this measures OUR overhead factor)
     online = _os.environ.get("BENCH_ONLINE", "0") == "1"
-    model = stable_diffusion_2(pretrained=False, precomputed_latents=True,
-                               encode_latents_in_fp16=True, fsdp=False,
-                               remat=remat)
+    builder = stable_diffusion_2
+    if _os.environ.get("BENCH_BUILDER"):  # CPU smoke: the tiny builder
+        from diffusion_tpu.config.loader import _import_target
+        builder = _import_target(_os.environ["BENCH_BUILDER"])
+    model = builder(pretrained=False, precomputed_latents=True,
+                    encode_latents_in_fp16=True, fsdp=False,
+                    remat=remat)
     rng = jax.random.key(0)
     p_sh = None
 
     # precomputed-latent path never touches VAE/CLIP: init ONLY the UNet so
     # the frozen towers' 1.7 GB never lands in HBM
+    ctx_dim = model.unet.config.cross_attention_dim
+
     def init_unet(r):
         return model.unet.init(r, jnp.zeros((1, lat, lat, 4)),
                                jnp.zeros((1,), jnp.int32),
-                               jnp.zeros((1, 77, 1024)))
+                               jnp.zeros((1, 77, ctx_dim)))
 
     def init_frozen(r):
         return {
@@ -138,12 +144,13 @@ def step_bench() -> dict:
             "caption_latents": model.encode_text(fz, batch["captions"]),
         }
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(p, o, batch, r):
+    def _train_step_py(p, o, batch, r):
         loss, grads = jax.value_and_grad(loss_fn)(p, batch, r)
         updates, o = tx.update(grads, o, p)
         p = optax.apply_updates(p, updates)
         return p, o, loss
+
+    train_step = jax.jit(_train_step_py, donate_argnums=(0, 1))
 
     if online:
         batch = {
@@ -158,12 +165,25 @@ def step_bench() -> dict:
                 np.random.default_rng(0).normal(size=(bsz, lat, lat, 4))
                 .astype(np.float16), jnp.bfloat16),
             "caption_latents": jnp.asarray(
-                np.random.default_rng(1).normal(size=(bsz, 77, 1024))
+                np.random.default_rng(1).normal(size=(bsz, 77, ctx_dim))
                 .astype(np.float16), jnp.bfloat16),
         }
     if not plain:
         b_sh = batch_sharding(mesh)
         batch = {k: jax.device_put(v, b_sh) for k, v in batch.items()}
+
+    # AOT lower/compile: one explicit trace (same work the first call would
+    # do) plus XLA cost analysis for free -> FLOPs/batch and MFU reporting
+    flops_per_batch = None
+    try:
+        lowered = train_step.lower(params, opt_state, batch, rng)
+        ca = lowered.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops_per_batch = float(ca.get("flops", 0.0)) or None
+        train_step = lowered.compile()
+    except Exception:
+        pass  # fall back to implicit jit compile on first call
 
     def run_step(p, o, r):
         b = encode_fn(frozen, batch, r) if online else batch
@@ -211,7 +231,7 @@ def step_bench() -> dict:
     # release the step-bench device state before the e2e bench allocates
     jax.tree.map(lambda x: x.delete(), (params, opt_state, batch, frozen))
     tag = "online_" if online else ""
-    return {
+    result = {
         "metric": f"unet_train_{tag}throughput_{res}px_per_chip",
         "value": round(per_chip, 2),
         "unit": "img/s/chip",
@@ -221,6 +241,13 @@ def step_bench() -> dict:
         "batch_per_chip": per_chip_batch,
         "loss": float(np.asarray(loss)),
     }
+    if flops_per_batch:
+        from diffusion_tpu.utils.flops import device_peak_flops
+        result["flops_per_batch"] = flops_per_batch
+        peak = device_peak_flops()
+        if peak:
+            result["mfu"] = round(flops_per_batch / dt / n_dev / peak, 4)
+    return result
 
 
 def _make_latent_mds(out_dir: str, n_samples: int, res: int) -> None:
