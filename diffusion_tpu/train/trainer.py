@@ -126,6 +126,16 @@ class Trainer:
             self.max_duration, self.max_duration, batches_per_epoch or 0))
         self.eval_interval = time_to_batches(eval_interval, self.max_duration,
                                              batches_per_epoch or 0)
+        if save_folder and save_folder.startswith(("s3://", "gs://")):
+            # Composer parity: the reference's save_folder may be a bucket
+            # URI directly (yamls: 'Insert path to save folder or bucket').
+            # orbax writes locally; stage under a run-keyed local dir and
+            # mirror to the bucket (save_remote machinery).
+            if save_remote is None:
+                save_remote = save_folder
+            import tempfile
+            save_folder = os.path.join(tempfile.gettempdir(),
+                                       "diffusion_tpu_ckpt", run_name)
         self.save_folder = save_folder
         self.save_remote = save_remote
         self.save_interval = time_to_batches(save_interval, self.max_duration,

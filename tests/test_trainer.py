@@ -242,6 +242,17 @@ def test_remote_checkpoint_mirror_and_resume(tmp_path):
     assert ckpt.sync_from_remote(fresh, remote) is None
 
 
+def test_bucket_save_folder_splits_into_stage_plus_remote():
+    """Composer drop-in parity: save_folder may be a bucket URI; the trainer
+    stages locally and mirrors to the bucket."""
+    tr = Trainer(model=tiny_stable_diffusion(), max_duration="1ba",
+                 image_size=SIZE, save_folder="s3://bucket/run/ckpts",
+                 run_name="bucket-split-test")
+    assert tr.save_remote == "s3://bucket/run/ckpts"
+    assert not tr.save_folder.startswith("s3://")
+    assert "bucket-split-test" in tr.save_folder
+
+
 def test_trainer_autoresume_from_remote_only(tmp_path):
     """End-to-end: train with save_remote, lose the local folder entirely,
     autoresume on a 'new host' — the trainer pulls the remote checkpoint."""
