@@ -92,6 +92,7 @@ class Trainer:
         async_checkpoint: bool = True,
         checkpoint_on_preemption: bool = True,
         preempt_sync_interval: int = 25,
+        skip_nonfinite_updates: bool = False,
         autoresume: bool = False,
         load_path: Optional[str] = None,
         load_weights_only: bool = False,
@@ -145,6 +146,7 @@ class Trainer:
         self.async_checkpoint = async_checkpoint
         self.checkpoint_on_preemption = checkpoint_on_preemption
         self.preempt_sync_interval = max(1, int(preempt_sync_interval))
+        self.skip_nonfinite_updates = skip_nonfinite_updates
         self._preempt_requested = False
         self.image_size = image_size
         self.eval_num_inference_steps = eval_num_inference_steps
@@ -359,14 +361,33 @@ class Trainer:
                 grads = jax.tree.map(lambda g: g / n_accum, grads)
                 loss = loss / n_accum
 
+            gnorm = optax.global_norm(grads)
             updates, new_opt = self.tx.update(grads, ts.opt_state, ts.params)
             new_params = optax.apply_updates(ts.params, updates)
+            metrics = {"loss/train/total": loss,
+                       "grad/global_norm": gnorm}
+            ema_eff_floor = None
+            if self.skip_nonfinite_updates:
+                # a poisoned batch (inf/nan loss or grads) must not corrupt
+                # params/moments: keep the old state and count the skip —
+                # one bad record in a billion-sample stream shouldn't kill
+                # a pod-day of training. Branch-free (jnp.where), so the
+                # compiled step is identical on the happy path.
+                ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+                new_params = jax.tree.map(
+                    lambda n, o: jnp.where(ok, n, o), new_params, ts.params)
+                new_opt = jax.tree.map(
+                    lambda n, o: jnp.where(ok, n, o), new_opt, ts.opt_state)
+                metrics["trainer/nonfinite_skipped"] = (
+                    1.0 - ok.astype(jnp.float32))
+                ema_eff_floor = ok
             new_ema = ts.ema_params
             if ema_cfg is not None:
                 eff = ema_smoothing_for_step(ts.step, *ema_cfg)
+                if ema_eff_floor is not None:
+                    # smoothing 1.0 == keep the EMA untouched on a skip
+                    eff = jnp.where(ema_eff_floor, eff, 1.0)
                 new_ema = apply_ema(ts.ema_params, new_params, eff)
-            metrics = {"loss/train/total": loss,
-                       "grad/global_norm": optax.global_norm(grads)}
             return ts.replace(step=ts.step + 1, params=new_params,
                               opt_state=new_opt, ema_params=new_ema), metrics
 

@@ -242,6 +242,50 @@ def test_remote_checkpoint_mirror_and_resume(tmp_path):
     assert ckpt.sync_from_remote(fresh, remote) is None
 
 
+def test_skip_nonfinite_updates_guards_params():
+    """A poisoned batch (NaN pixels -> NaN loss/grads) leaves params,
+    moments, and EMA untouched and reports the skip; a clean batch still
+    updates."""
+    tr = Trainer(
+        model=tiny_stable_diffusion(),
+        train_dataloader=make_loader(),
+        optimizers=adamw(lr=1e-3),
+        algorithms=[EMA(half_life="2ba", update_interval="1ba",
+                        ema_start="0ba")],
+        max_duration="4ba",
+        image_size=SIZE,
+        eval_interval="0ba",
+        skip_nonfinite_updates=True,
+        fsdp_config={"min_params": 0},
+    )
+    step = tr._train_step_for(BSZ)
+    loader = make_loader(n_batches=1)
+    clean = {k: jnp.asarray(v) for k, v in loader[0].items()}
+    poisoned = dict(clean)
+    poisoned["image"] = clean["image"].at[0, 0, 0, 0].set(jnp.nan)
+
+    from diffusion_tpu.train.trainer import make_global_batch
+    before = jax.tree.map(lambda x: np.asarray(x), tr.train_state.params)
+    ts, metrics = step(tr.train_state,
+                       make_global_batch(poisoned, tr.mesh))
+    assert float(np.asarray(metrics["trainer/nonfinite_skipped"])) == 1.0
+    after = jax.tree.map(lambda x: np.asarray(x), ts.params)
+    for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(b, a)
+    # EMA untouched on the skip too
+    for e, p in zip(jax.tree.leaves(
+            jax.tree.map(lambda x: np.asarray(x), ts.ema_params)),
+            jax.tree.leaves(after)):
+        np.testing.assert_array_equal(e, p)  # ema init == params, unchanged
+
+    ts2, metrics2 = step(ts, make_global_batch(clean, tr.mesh))
+    assert float(np.asarray(metrics2["trainer/nonfinite_skipped"])) == 0.0
+    changed = any(
+        not np.array_equal(b, np.asarray(a)) for b, a in zip(
+            jax.tree.leaves(before), jax.tree.leaves(ts2.params)))
+    assert changed
+
+
 def test_bucket_save_folder_splits_into_stage_plus_remote():
     """Composer drop-in parity: save_folder may be a bucket URI; the trainer
     stages locally and mirrors to the bucket."""
