@@ -77,6 +77,29 @@ def main() -> None:
     np.testing.assert_array_equal(got, [0, 1, 10, 11])
     assert meta["timestamp"]["batch"] == 7
 
+    # ---- remote mirror + fresh-host autoresume sync (trainer's
+    # save_remote flow: process 0 uploads/downloads, everyone barriers,
+    # then a coordinated sharded load from the synced local copy)
+    remote = os.path.join(tmpdir, "bucket")
+    ckpt.save_checkpoint(tmpdir, 9, state, {"timestamp": {"batch": 9}},
+                         wait=False, remote=remote)
+    ckpt.finalize_pending()
+    ckpt.drain_remote_uploads()
+    dist.barrier("after-upload")
+    if pid == 0:
+        assert os.path.exists(os.path.join(remote, "ba9", "meta.json"))
+
+    fresh = os.path.join(tmpdir, f"fresh")
+    ckpt.sync_from_remote(fresh, remote)
+    dist.barrier("after-sync")
+    latest = ckpt.latest_checkpoint_path(fresh)
+    assert latest is not None and latest.endswith("ba9"), latest
+    restored2, meta2 = ckpt.load_checkpoint(latest, abstract)
+    got2 = np.sort(np.asarray(
+        multihost_utils.process_allgather(restored2["w"], tiled=True)))
+    np.testing.assert_array_equal(got2, [0, 1, 10, 11])
+    assert meta2["timestamp"]["batch"] == 9
+
     print(f"MULTIHOST-OK pid={pid}")
 
 
