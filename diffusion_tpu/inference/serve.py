@@ -62,9 +62,22 @@ class Batcher:
         self.batch_wait_s = max(0.0, float(batch_wait_ms) / 1e3)
         self._queue: collections.deque[_Ticket] = collections.deque()
         self._cond = threading.Condition()
+        self.stats = {"requests_total": 0, "errors_total": 0,
+                      "dispatches_total": 0, "dispatch_seconds_total": 0.0}
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="serve-batcher")
         self._worker.start()
+
+    def snapshot(self) -> Dict[str, Any]:
+        """Capacity-planning counters (avg co-batched requests per chip
+        dispatch is the batching win; queue_depth is backpressure)."""
+        with self._cond:
+            s = dict(self.stats)
+            s["queue_depth"] = len(self._queue)
+        d = max(s["dispatches_total"], 1)
+        s["avg_batch_size"] = round(s["requests_total"] / d, 3)
+        s["avg_dispatch_seconds"] = round(s["dispatch_seconds_total"] / d, 4)
+        return s
 
     def submit(self, inputs: Dict[str, Any]) -> List[str]:
         """Enqueue, wait, return images (raises the handler's error)."""
@@ -105,15 +118,25 @@ class Batcher:
     def _run(self) -> None:
         while True:
             batch = self._take_batch()
+            t0 = time.monotonic()
+            failed = False
             try:
                 results = self.endpoint.predict_many(
                     [t.inputs for t in batch])
                 for t, r in zip(batch, results):
                     t.result = r
             except BaseException as e:  # noqa: BLE001 — deliver to callers
+                failed = True
                 for t in batch:
                     t.error = e
             finally:
+                with self._cond:
+                    self.stats["requests_total"] += len(batch)
+                    self.stats["dispatches_total"] += 1
+                    self.stats["dispatch_seconds_total"] += (
+                        time.monotonic() - t0)
+                    if failed:
+                        self.stats["errors_total"] += len(batch)
                 for t in batch:
                     t.event.set()
 
@@ -136,6 +159,8 @@ def make_server(endpoint: StableDiffusionInference, host: str = "0.0.0.0",
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, {"status": "ok"})
+            elif self.path == "/stats":
+                self._send(200, batcher.snapshot())
             else:
                 self._send(404, {"error": "unknown path"})
 

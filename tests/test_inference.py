@@ -141,5 +141,13 @@ def test_http_server(endpoint):
         # probe: unknown path -> 404
         conn.request("POST", "/nope", body="{}")
         assert conn.getresponse().status == 404
+
+        # probe: /stats counters reflect the traffic above
+        conn.request("GET", "/stats")
+        stats = json.loads(conn.getresponse().read())
+        assert stats["requests_total"] >= 1
+        assert stats["dispatches_total"] >= 1
+        assert stats["avg_batch_size"] >= 1.0
+        assert stats["queue_depth"] == 0
     finally:
         server.shutdown()
