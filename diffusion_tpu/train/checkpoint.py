@@ -65,7 +65,7 @@ def _drain_upload() -> None:
     global _UPLOAD
     if _UPLOAD is None:
         return
-    t, errbox = _UPLOAD
+    t, errbox, _ = _UPLOAD
     _UPLOAD = None
     t.join()
     if errbox:
@@ -93,7 +93,7 @@ def _start_upload(local_dir: str, remote_dir: str) -> None:
 
     t = threading.Thread(target=run, daemon=True, name="ckpt-upload")
     t.start()
-    _UPLOAD = (t, errbox)
+    _UPLOAD = (t, errbox, local_dir)
 
 
 def _checkpointer():
@@ -234,8 +234,13 @@ def prune_checkpoints(save_folder: str, keep: int) -> None:
         if os.path.exists(os.path.join(full, _COMPLETE)):
             complete.append((int(m.group(1)), full))
     complete.sort()
+    uploading = (os.path.abspath(_UPLOAD[2])
+                 if _UPLOAD is not None and _UPLOAD[0].is_alive() else None)
     budget = keep - (1 if _PENDING is not None else 0)
     excess = complete[:-budget] if budget > 0 else complete
+    # never rip a dir out from under its in-flight remote upload — it ages
+    # out at a later prune once the mirror is done
+    excess = [(n, f) for n, f in excess if os.path.abspath(f) != uploading]
     if jax.process_index() == 0:
         for _, full in excess:
             # marker first: a crash mid-rmtree leaves an unmarked dir that
