@@ -159,6 +159,9 @@ def save_checkpoint(save_folder: str, batch: int, train_state: Any,
     if os.path.exists(state_path) or os.path.exists(meta_path):
         if not overwrite:
             raise FileExistsError(f"{path} exists and save_overwrite=False")
+        if _UPLOAD is not None and \
+                os.path.abspath(_UPLOAD[2]) == os.path.abspath(path):
+            _drain_upload()  # don't delete the dir out from under its mirror
         if jax.process_index() == 0:
             if os.path.exists(meta_path):
                 os.remove(meta_path)

@@ -148,6 +148,7 @@ class Trainer:
         self.preempt_sync_interval = max(1, int(preempt_sync_interval))
         self.skip_nonfinite_updates = skip_nonfinite_updates
         self._preempt_requested = False
+        self._last_saved_batch = -1
         self.image_size = image_size
         self.eval_num_inference_steps = eval_num_inference_steps
         self.eval_guidance_scales = tuple(
@@ -540,8 +541,10 @@ class Trainer:
             self.engine.run(Event.EPOCH_END, state, logger)
             self.engine.run(Event.EPOCH_CHECKPOINT, state, logger)
 
-        if self.save_folder:
+        if self.save_folder and \
+                self._last_saved_batch != state.timestamp.batch:
             self.save_checkpoint()
+        if self.save_folder:
             ckpt.finalize_pending()  # final ckpt must be durable at return
             ckpt.drain_remote_uploads()  # incl. its remote mirror
         self.engine.run(Event.FIT_END, state, logger)
@@ -656,6 +659,7 @@ class Trainer:
         if self.ema_algorithm:
             self.ema_algorithm.swap_out(state)
         self.train_state = state.train_state
+        self._last_saved_batch = state.timestamp.batch
         # retention (Composer save_num_checkpoints_to_keep): never blocks on
         # the async write — the in-flight save counts as the newest
         ckpt.prune_checkpoints(self.save_folder,
