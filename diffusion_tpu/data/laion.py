@@ -75,6 +75,7 @@ def build_streaming_laion_dataloader(
     download_retry: int = 2,
     download_timeout: float = 120.0,
     num_canonical_nodes: Optional[int] = None,
+    validate_hash: Optional[str] = None,
     num_samples: Optional[int] = None,
     **_: Any,
 ) -> DataLoader:
@@ -90,7 +91,7 @@ def build_streaming_laion_dataloader(
         caption_selection=caption_selection, transform=transform,
         image_size=resize_size, precomputed_latents=precomputed_latents,
         predownload=predownload, download_retry=download_retry,
-        download_timeout=download_timeout,
+        download_timeout=download_timeout, validate_hash=validate_hash,
         num_canonical_nodes=num_canonical_nodes, batch_size=batch_size)
     if num_samples is not None:
         dataset = _Subset(dataset, num_samples)

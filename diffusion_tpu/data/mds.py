@@ -90,6 +90,10 @@ class MDSWriter:
                  **_: Any):
         if compression:
             raise NotImplementedError("compression not supported")
+        for h in hashes:
+            if h not in ("sha1", "md5"):
+                raise ValueError(f"unsupported hash {h!r} (sha1/md5)")
+        self.hashes = tuple(hashes)
         self.remote: Optional[str] = None
         if not isinstance(out, str):
             out, self.remote = out
@@ -140,15 +144,23 @@ class MDSWriter:
             f.write(b"".join(_U32.pack(o) for o in offsets))
             for blob in self._samples:
                 f.write(blob)
+        shard_hashes = {}
+        if self.hashes:
+            import hashlib
+            with open(path, "rb") as f:
+                data = f.read()
+            shard_hashes = {h: hashlib.new(h, data).hexdigest()
+                            for h in self.hashes}
         self._shards.append({
             "column_encodings": list(self.column_encodings),
             "column_names": list(self.column_names),
             "column_sizes": [None] * len(self.column_names),
             "compression": None,
             "format": "mds",
-            "hashes": [],
+            "hashes": list(self.hashes),
             "raw_data": {"basename": basename,
-                         "bytes": os.path.getsize(path), "hashes": {}},
+                         "bytes": os.path.getsize(path),
+                         "hashes": shard_hashes},
             "samples": n,
             "size_limit": self.size_limit,
             "version": 2,

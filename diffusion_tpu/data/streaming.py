@@ -81,6 +81,7 @@ class StreamingDataset:
                  predownload: Optional[int] = None,
                  download_retry: int = 2,
                  download_timeout: float = 120.0,
+                 validate_hash: Optional[str] = None,
                  batch_size: Optional[int] = None,
                  **_: Any):
         if streams is None:
@@ -96,6 +97,7 @@ class StreamingDataset:
         self.shuffle_seed = shuffle_seed
         self.num_canonical_nodes = num_canonical_nodes
         self.predownload = predownload
+        self.validate_hash = validate_hash
         self.batch_size = batch_size
         self.store = ObjectStore(download_retry, download_timeout)
 
@@ -126,10 +128,43 @@ class StreamingDataset:
         stream, index = self.streams[si], self._indexes[si]
         info = index.shards[shard_idx]
         path = stream.shard_path(info["raw_data"]["basename"], self.store)
+        if self.validate_hash:
+            self._check_hash(path, info, stream)
         reader = MDSShardReader.from_shard_info(os.path.dirname(path), info)
         with self._lock:
             self._readers[flat_shard] = reader
         return reader
+
+    def _check_hash(self, path: str, info: Dict[str, Any],
+                    stream: Stream) -> None:
+        """Verify the shard against its recorded hash (mosaicml-streaming's
+        `validate_hash`; reference laion.py:71 exposes the knob). A corrupt
+        local copy is deleted and re-downloaded ONCE — disk bit-rot or a
+        truncated earlier download heals itself; a corrupt REMOTE raises."""
+        import hashlib
+        alg = self.validate_hash
+        want = info["raw_data"].get("hashes", {}).get(alg)
+        if want is None:
+            raise ValueError(
+                f"shard {info['raw_data']['basename']} records no {alg!r} "
+                f"hash; rewrite the dataset with MDSWriter(hashes=({alg!r},))")
+
+        def digest() -> str:
+            h = hashlib.new(alg)
+            with open(path, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            return h.hexdigest()
+
+        if digest() == want:
+            return
+        if stream.remote and stream.remote != stream.local:
+            os.remove(path)
+            stream.shard_path(info["raw_data"]["basename"], self.store)
+            if digest() == want:
+                return
+        raise ValueError(
+            f"shard {path} failed {alg} validation (corrupt data)")
 
     def get_sample(self, global_idx: int) -> Dict[str, Any]:
         flat = int(np.searchsorted(self._shard_cum, global_idx, side="right") - 1)

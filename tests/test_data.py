@@ -37,6 +37,56 @@ def make_mds(tmp_path, n=25, size_limit=2000):
     return out
 
 
+def test_shard_hash_validation(tmp_path):
+    """Writer records sha1 per shard (mosaicml wire format); the reader's
+    validate_hash verifies on first open, heals a corrupt LOCAL copy by
+    re-downloading from remote, and raises on truly corrupt data."""
+    import json
+    import shutil
+
+    from diffusion_tpu.data.streaming import StreamingDataset
+
+    remote = str(tmp_path / "remote")
+    with MDSWriter(remote, {"caption": "str"}, hashes=("sha1",)) as w:
+        for i in range(8):
+            w.write({"caption": f"c{i}"})
+    with open(f"{remote}/index.json") as f:
+        info = json.load(f)["shards"][0]
+    assert "sha1" in info["raw_data"]["hashes"]
+
+    # clean read validates fine
+    ds = StreamingDataset(remote=remote, validate_hash="sha1")
+    assert ds.get_sample(0)["caption"] == "c0"
+
+    # corrupt the LOCAL cache copy -> heals from remote
+    local = str(tmp_path / "local")
+    shutil.copytree(remote, local)
+    shard = f"{local}/{info['raw_data']['basename']}"
+    with open(shard, "r+b") as f:
+        f.seek(-1, 2)
+        f.write(b"\xff")
+    ds2 = StreamingDataset(remote=remote, local=local, validate_hash="sha1")
+    assert ds2.get_sample(0)["caption"] == "c0"  # re-downloaded
+
+    # corrupt REMOTE (no healthy source) -> loud failure
+    local3 = str(tmp_path / "corrupt")
+    shutil.copytree(remote, local3)
+    with open(f"{local3}/{info['raw_data']['basename']}", "r+b") as f:
+        f.seek(-1, 2)
+        f.write(b"\xff")
+    ds3 = StreamingDataset(local=local3, validate_hash="sha1")
+    with pytest.raises(ValueError, match="validation"):
+        ds3.get_sample(0)
+
+    # dataset written without hashes -> actionable error
+    nohash = str(tmp_path / "nohash")
+    with MDSWriter(nohash, {"caption": "str"}) as w:
+        w.write({"caption": "x"})
+    ds4 = StreamingDataset(local=nohash, validate_hash="sha1")
+    with pytest.raises(ValueError, match="records no"):
+        ds4.get_sample(0)
+
+
 def test_mds_roundtrip(tmp_path):
     out = make_mds(tmp_path)
     index = MDSIndex(out)
