@@ -32,10 +32,50 @@ from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple, Union
 import numpy as np
 
 __all__ = ["MDSWriter", "MDSShardReader", "MDSIndex", "decode_value",
-           "encode_value"]
+           "encode_value", "compress_bytes", "decompress_bytes",
+           "compression_suffix"]
 
 _U32 = struct.Struct("<I")
 _I64 = struct.Struct("<q")
+
+
+def _parse_compression(spec: str) -> Tuple[str, Optional[int]]:
+    name, _, level = spec.partition(":")
+    return name, (int(level) if level else None)
+
+
+def compression_suffix(spec: str) -> str:
+    """File suffix for a compression spec ('zstd:7' -> '.zstd'), matching
+    mosaicml-streaming's shard naming."""
+    return "." + _parse_compression(spec)[0]
+
+
+def compress_bytes(spec: str, data: bytes) -> bytes:
+    name, level = _parse_compression(spec)
+    if name == "zstd":
+        import zstandard
+        return zstandard.ZstdCompressor(level=level or 3).compress(data)
+    if name == "gz":
+        import gzip
+        return gzip.compress(data, compresslevel=level or 9)
+    if name == "bz2":
+        import bz2
+        return bz2.compress(data, compresslevel=level or 9)
+    raise ValueError(f"unsupported compression {spec!r} (zstd/gz/bz2)")
+
+
+def decompress_bytes(spec: str, data: bytes) -> bytes:
+    name, _ = _parse_compression(spec)
+    if name == "zstd":
+        import zstandard
+        return zstandard.ZstdDecompressor().decompress(data)
+    if name == "gz":
+        import gzip
+        return gzip.decompress(data)
+    if name == "bz2":
+        import bz2
+        return bz2.decompress(data)
+    raise ValueError(f"unsupported compression {spec!r} (zstd/gz/bz2)")
 
 
 def encode_value(encoding: str, value: Any) -> bytes:
@@ -89,7 +129,8 @@ class MDSWriter:
                  hashes: Sequence[str] = (), keep_local: bool = True,
                  **_: Any):
         if compression:
-            raise NotImplementedError("compression not supported")
+            compress_bytes(compression, b"")  # validate the spec up front
+        self.compression = compression or None
         for h in hashes:
             if h not in ("sha1", "md5"):
                 raise ValueError(f"unsupported hash {h!r} (sha1/md5)")
@@ -144,31 +185,48 @@ class MDSWriter:
             f.write(b"".join(_U32.pack(o) for o in offsets))
             for blob in self._samples:
                 f.write(blob)
-        shard_hashes = {}
-        if self.hashes:
+        def _digests(p: str) -> Dict[str, str]:
+            if not self.hashes:
+                return {}
             import hashlib
-            with open(path, "rb") as f:
+            with open(p, "rb") as f:
                 data = f.read()
-            shard_hashes = {h: hashlib.new(h, data).hexdigest()
-                            for h in self.hashes}
+            return {h: hashlib.new(h, data).hexdigest() for h in self.hashes}
+
+        raw_entry = {"basename": basename, "bytes": os.path.getsize(path),
+                     "hashes": _digests(path)}
+        zip_entry = None
+        upload_basename = basename
+        if self.compression:
+            # mosaicml behavior: ship the compressed file, drop the raw —
+            # readers decompress on demand (streaming.py _reader)
+            zip_base = basename + compression_suffix(self.compression)
+            zip_path = os.path.join(self.out, zip_base)
+            with open(path, "rb") as f:
+                blob = compress_bytes(self.compression, f.read())
+            with open(zip_path, "wb") as f:
+                f.write(blob)
+            os.remove(path)
+            zip_entry = {"basename": zip_base, "bytes": len(blob),
+                         "hashes": _digests(zip_path)}
+            upload_basename = zip_base
         self._shards.append({
             "column_encodings": list(self.column_encodings),
             "column_names": list(self.column_names),
             "column_sizes": [None] * len(self.column_names),
-            "compression": None,
+            "compression": self.compression,
             "format": "mds",
             "hashes": list(self.hashes),
-            "raw_data": {"basename": basename,
-                         "bytes": os.path.getsize(path),
-                         "hashes": shard_hashes},
+            "raw_data": raw_entry,
             "samples": n,
             "size_limit": self.size_limit,
             "version": 2,
-            "zip_data": None,
+            "zip_data": zip_entry,
         })
         self._samples, self._bytes = [], 0
         if self._pool is not None:
-            self._uploads.append(self._pool.submit(self._upload, basename))
+            self._uploads.append(
+                self._pool.submit(self._upload, upload_basename))
             # drain finished uploads NOW so a failed upload surfaces on the
             # next shard, not days later at finish(); and refresh the
             # remote index every few shards so a crash mid-run still

@@ -82,6 +82,7 @@ class StreamingDataset:
                  download_retry: int = 2,
                  download_timeout: float = 120.0,
                  validate_hash: Optional[str] = None,
+                 keep_zip: bool = False,
                  batch_size: Optional[int] = None,
                  **_: Any):
         if streams is None:
@@ -98,6 +99,7 @@ class StreamingDataset:
         self.num_canonical_nodes = num_canonical_nodes
         self.predownload = predownload
         self.validate_hash = validate_hash
+        self.keep_zip = keep_zip
         self.batch_size = batch_size
         self.store = ObjectStore(download_retry, download_timeout)
 
@@ -127,13 +129,49 @@ class StreamingDataset:
         si, shard_idx = self._shard_infos[flat_shard]
         stream, index = self.streams[si], self._indexes[si]
         info = index.shards[shard_idx]
-        path = stream.shard_path(info["raw_data"]["basename"], self.store)
+        path = self._materialize_raw(info, stream)
         if self.validate_hash:
             self._check_hash(path, info, stream)
         reader = MDSShardReader.from_shard_info(os.path.dirname(path), info)
         with self._lock:
             self._readers[flat_shard] = reader
         return reader
+
+    def _materialize_raw(self, info: Dict[str, Any], stream: Stream) -> str:
+        """Local path of the shard's RAW file, downloading (and, for
+        compressed datasets, decompressing — mosaicml ships the zip and
+        readers inflate on demand) as needed. The inflated file lands via
+        tmp+rename so concurrent readers never map a partial shard; the zip
+        is removed after inflation unless keep_zip (there is no re-use for
+        it locally — the remote keeps the canonical copy)."""
+        raw_base = info["raw_data"]["basename"]
+        raw_path = os.path.join(stream.local, raw_base)
+        if os.path.exists(raw_path):
+            return raw_path
+        if not info.get("compression"):
+            return stream.shard_path(raw_base, self.store)
+        from diffusion_tpu.data.mds import decompress_bytes
+        zip_path = stream.shard_path(info["zip_data"]["basename"], self.store)
+        with open(zip_path, "rb") as f:
+            raw = decompress_bytes(info["compression"], f.read())
+        if len(raw) != info["raw_data"]["bytes"]:
+            raise ValueError(
+                f"{zip_path}: inflated to {len(raw)} bytes, index says "
+                f"{info['raw_data']['bytes']} (corrupt shard)")
+        tmp = f"{raw_path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(raw)
+        os.replace(tmp, raw_path)
+        # keep the zip when it is the only source (local-only stream) —
+        # deleting it would make the raw file unrecoverable after a release
+        has_remote = stream.remote and os.path.abspath(stream.remote) != \
+            os.path.abspath(stream.local)
+        if not self.keep_zip and has_remote:
+            try:
+                os.remove(zip_path)
+            except OSError:
+                pass
+        return raw_path
 
     def _check_hash(self, path: str, info: Dict[str, Any],
                     stream: Stream) -> None:
@@ -160,7 +198,12 @@ class StreamingDataset:
             return
         if stream.remote and stream.remote != stream.local:
             os.remove(path)
-            stream.shard_path(info["raw_data"]["basename"], self.store)
+            if info.get("compression") and info.get("zip_data"):
+                zip_path = os.path.join(stream.local,
+                                        info["zip_data"]["basename"])
+                if os.path.exists(zip_path):
+                    os.remove(zip_path)  # the zip may be the corrupt one
+            self._materialize_raw(info, stream)
             if digest() == want:
                 return
         raise ValueError(
@@ -189,12 +232,17 @@ class StreamingDataset:
             return False
         with self._lock:
             self._readers.pop(flat_shard, None)
-        path = os.path.join(stream.local,
-                            index.shards[shard_idx]["raw_data"]["basename"])
-        if os.path.exists(path):
-            os.remove(path)
-            return True
-        return False
+        info = index.shards[shard_idx]
+        removed = False
+        names = [info["raw_data"]["basename"]]
+        if info.get("zip_data"):
+            names.append(info["zip_data"]["basename"])
+        for name in names:
+            path = os.path.join(stream.local, name)
+            if os.path.exists(path):
+                os.remove(path)
+                removed = True
+        return removed
 
     def __len__(self) -> int:
         return self.num_samples

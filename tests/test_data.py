@@ -87,6 +87,52 @@ def test_shard_hash_validation(tmp_path):
         ds4.get_sample(0)
 
 
+@pytest.mark.parametrize("spec", ["zstd:3", "gz"])
+def test_mds_compression_roundtrip(tmp_path, spec):
+    """Compressed shards (mosaicml wire format: zip_data + compression in
+    the index, raw removed) inflate on demand; remote streaming, hash
+    validation, and shard release/re-materialize all compose with it."""
+    import json as _json
+
+    from diffusion_tpu.data.streaming import StreamingDataset
+
+    remote = str(tmp_path / f"remote_{spec.replace(':', '_')}")
+    with MDSWriter(remote, {"caption": "str", "idx": "int"},
+                   compression=spec, hashes=("sha1",),
+                   size_limit=256) as w:
+        for i in range(12):
+            w.write({"caption": f"c{i} " + "x" * 40, "idx": i})
+    with open(f"{remote}/index.json") as f:
+        shards = _json.load(f)["shards"]
+    assert len(shards) > 1
+    assert shards[0]["compression"] == spec
+    assert shards[0]["zip_data"]["basename"].endswith(
+        "." + spec.split(":")[0])
+    # raw files were replaced by zips on disk
+    assert not os.path.exists(f"{remote}/{shards[0]['raw_data']['basename']}")
+
+    # local-only read (zip is the source; it must survive inflation)
+    ds = StreamingDataset(local=remote, validate_hash="sha1")
+    assert ds.get_sample(0)["idx"] == 0
+    assert ds.get_sample(11)["caption"].startswith("c11")
+    assert os.path.exists(f"{remote}/{shards[0]['zip_data']['basename']}")
+
+    # remote streaming: zip downloads, inflates, zip removed locally
+    local = str(tmp_path / f"local_{spec.replace(':', '_')}")
+    ds2 = StreamingDataset(remote=remote, local=local, validate_hash="sha1")
+    assert ds2.get_sample(5)["idx"] == 5
+    flat = ds2.flat_shard_of(5)
+    raw = shards[flat]["raw_data"]["basename"]
+    assert os.path.exists(f"{local}/{raw}")
+    assert not os.path.exists(
+        f"{local}/{shards[flat]['zip_data']['basename']}")
+
+    # release frees the raw; access re-downloads + re-inflates
+    assert ds2.release_shard(flat)
+    assert not os.path.exists(f"{local}/{raw}")
+    assert ds2.get_sample(5)["idx"] == 5
+
+
 def test_mds_roundtrip(tmp_path):
     out = make_mds(tmp_path)
     index = MDSIndex(out)
