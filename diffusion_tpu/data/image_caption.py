@@ -106,6 +106,8 @@ def build_streaming_image_caption_dataloader(
     download_retry: int = 2,
     num_canonical_nodes: Optional[int] = None,
     predownload: Optional[int] = None,
+    validate_hash: Optional[str] = None,
+    keep_zip: bool = False,
     **_: Any,
 ) -> DataLoader:
     """Builder parity with the reference (image_caption.py:105-189); the
@@ -122,6 +124,7 @@ def build_streaming_image_caption_dataloader(
         image_key=image_key, caption_key=caption_key, image_size=resize_size,
         download_retry=download_retry, download_timeout=download_timeout,
         num_canonical_nodes=num_canonical_nodes, predownload=predownload,
+        validate_hash=validate_hash, keep_zip=keep_zip,
         batch_size=batch_size)
     return DataLoader(dataset, batch_size=batch_size, drop_last=drop_last,
                       num_workers=num_workers, prefetch_factor=prefetch_factor,
