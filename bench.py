@@ -173,17 +173,29 @@ def step_bench() -> dict:
         batch = {k: jax.device_put(v, b_sh) for k, v in batch.items()}
 
     # AOT lower/compile: one explicit trace (same work the first call would
-    # do) plus XLA cost analysis for free -> FLOPs/batch and MFU reporting
+    # do) plus XLA cost analysis for free -> FLOPs/batch and MFU reporting.
+    # Online mode feeds the TRAIN batch shapes (the encoders' outputs), not
+    # the raw image/caption batch.
     flops_per_batch = None
     try:
-        lowered = train_step.lower(params, opt_state, batch, rng)
+        if online:
+            step_in = jax.eval_shape(encode_fn, frozen, batch, rng)
+            if not plain:
+                b_sh = batch_sharding(mesh)
+                step_in = jax.tree.map(
+                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                                   sharding=b_sh), step_in)
+        else:
+            step_in = batch
+        lowered = train_step.lower(params, opt_state, step_in, rng)
         ca = lowered.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
         flops_per_batch = float(ca.get("flops", 0.0)) or None
         train_step = lowered.compile()
-    except Exception:
-        pass  # fall back to implicit jit compile on first call
+    except Exception as e:  # noqa: BLE001 — bench must still run
+        sys.stderr.write(f"AOT lowering unavailable ({type(e).__name__}: "
+                         f"{e}); falling back to implicit jit\n")
 
     def run_step(p, o, r):
         b = encode_fn(frozen, batch, r) if online else batch
@@ -239,7 +251,10 @@ def step_bench() -> dict:
         "total_img_per_sec": round(img_per_sec, 2),
         "n_devices": n_dev,
         "batch_per_chip": per_chip_batch,
-        "loss": float(np.asarray(loss)),
+        # json.dumps(nan) emits invalid JSON -> null instead (random-weight
+        # fp16 encoders can overflow; the headline timing is still valid)
+        "loss": (float(np.asarray(loss))
+                 if np.isfinite(np.asarray(loss)) else None),
     }
     if flops_per_batch:
         from diffusion_tpu.utils.flops import device_peak_flops

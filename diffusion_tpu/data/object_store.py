@@ -109,7 +109,8 @@ class ObjectStore:
         def _once() -> list:
             if uri.startswith("s3://"):
                 bucket, _, prefix = uri[5:].partition("/")
-                prefix = prefix.rstrip("/") + "/"
+                prefix = prefix.rstrip("/")
+                prefix = prefix + "/" if prefix else ""  # bare bucket: ""
                 keys = []
                 paginator = self._s3_client().get_paginator("list_objects_v2")
                 for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
@@ -118,7 +119,8 @@ class ObjectStore:
                 return keys
             if uri.startswith("gs://"):
                 bucket, _, prefix = uri[5:].partition("/")
-                prefix = prefix.rstrip("/") + "/"
+                prefix = prefix.rstrip("/")
+                prefix = prefix + "/" if prefix else ""
                 blobs = self._gcs_client().bucket(bucket).list_blobs(
                     prefix=prefix)
                 return [b.name[len(prefix):] for b in blobs]

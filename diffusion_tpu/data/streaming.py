@@ -40,6 +40,17 @@ from diffusion_tpu.data.object_store import ObjectStore
 __all__ = ["Stream", "StreamingDataset"]
 
 
+def _has_distinct_remote(stream: "Stream") -> bool:
+    """True when the stream can re-fetch data from somewhere other than its
+    local dir (bucket URI, or a genuinely different directory — compared by
+    abspath so './data' vs 'data' doesn't count as a second copy)."""
+    if not stream.remote:
+        return False
+    if stream.remote.startswith(("s3://", "gs://")):
+        return True
+    return os.path.abspath(stream.remote) != os.path.abspath(stream.local)
+
+
 class Stream:
     """(remote, local) shard source (streaming.Stream parity)."""
 
@@ -158,15 +169,17 @@ class StreamingDataset:
             raise ValueError(
                 f"{zip_path}: inflated to {len(raw)} bytes, index says "
                 f"{info['raw_data']['bytes']} (corrupt shard)")
-        tmp = f"{raw_path}.{os.getpid()}.tmp"
+        # unique tmp per call: two threads inflating the same shard must
+        # not truncate each other's in-flight copy; each publishes a
+        # complete file atomically and the last replace wins
+        import uuid
+        tmp = f"{raw_path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "wb") as f:
             f.write(raw)
         os.replace(tmp, raw_path)
         # keep the zip when it is the only source (local-only stream) —
         # deleting it would make the raw file unrecoverable after a release
-        has_remote = stream.remote and os.path.abspath(stream.remote) != \
-            os.path.abspath(stream.local)
-        if not self.keep_zip and has_remote:
+        if not self.keep_zip and _has_distinct_remote(stream):
             try:
                 os.remove(zip_path)
             except OSError:
@@ -196,7 +209,7 @@ class StreamingDataset:
 
         if digest() == want:
             return
-        if stream.remote and stream.remote != stream.local:
+        if _has_distinct_remote(stream):
             os.remove(path)
             if info.get("compression") and info.get("zip_data"):
                 zip_path = os.path.join(stream.local,
@@ -227,8 +240,7 @@ class StreamingDataset:
         accessed again."""
         si, shard_idx = self._shard_infos[flat_shard]
         stream, index = self.streams[si], self._indexes[si]
-        if not stream.remote or os.path.abspath(stream.remote) == \
-                os.path.abspath(stream.local):
+        if not _has_distinct_remote(stream):
             return False
         with self._lock:
             self._readers.pop(flat_shard, None)

@@ -112,7 +112,7 @@ class StableDiffusionInference:
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         negative = inputs.get("negative_prompt")
         negatives = ([negative] * len(prompts) if isinstance(negative, str)
-                     else negative)
+                     else (list(negative) if negative else None))  # [] = none
         if negatives is not None and len(negatives) != len(prompts):
             raise ValueError("negative_prompt count != prompt count")
         key = (int(inputs.get("num_inference_steps", 50)),

@@ -239,7 +239,11 @@ def prune_checkpoints(save_folder: str, keep: int) -> None:
     complete.sort()
     uploading = (os.path.abspath(_UPLOAD[2])
                  if _UPLOAD is not None and _UPLOAD[0].is_alive() else None)
-    budget = keep - (1 if _PENDING is not None else 0)
+    # the in-flight save counts toward the budget as newest, but an UNMARKED
+    # save is not yet durable — with keep=1 we must still hold the newest
+    # complete dir until the pending one finalizes (else a crash mid-write
+    # leaves zero resumable checkpoints); it ages out at the next prune
+    budget = max(keep - 1, 1) if _PENDING is not None else keep
     excess = complete[:-budget] if budget > 0 else complete
     # never rip a dir out from under its in-flight remote upload — it ages
     # out at a later prune once the mirror is done

@@ -130,13 +130,28 @@ class Trainer:
         if save_folder and save_folder.startswith(("s3://", "gs://")):
             # Composer parity: the reference's save_folder may be a bucket
             # URI directly (yamls: 'Insert path to save folder or bucket').
-            # orbax writes locally; stage under a run-keyed local dir and
-            # mirror to the bucket (save_remote machinery).
+            # orbax writes locally; stage under a (run, bucket)-keyed local
+            # dir and mirror to the bucket (save_remote machinery). The
+            # bucket key prevents a stale staging dir from a previous run
+            # with the same run_name being autoresumed against a new bucket.
+            if jax.process_count() > 1:
+                # per-host tempdirs would give the mirror (process 0 only)
+                # a view of only host 0's shards, and remote autoresume
+                # would download on host 0 alone — set an explicit SHARED
+                # save_folder and keep the bucket in save_remote instead.
+                raise ValueError(
+                    "multi-host: a bucket save_folder cannot be staged in "
+                    "per-host tempdirs (orbax needs one shared directory). "
+                    "Set trainer.save_folder to a shared-filesystem path "
+                    f"and trainer.save_remote={save_folder!r}.")
             if save_remote is None:
                 save_remote = save_folder
+            import hashlib
             import tempfile
+            bucket_key = hashlib.sha1(save_folder.encode()).hexdigest()[:8]
             save_folder = os.path.join(tempfile.gettempdir(),
-                                       "diffusion_tpu_ckpt", run_name)
+                                       "diffusion_tpu_ckpt",
+                                       f"{run_name}-{bucket_key}")
         self.save_folder = save_folder
         self.save_remote = save_remote
         self.save_interval = time_to_batches(save_interval, self.max_duration,

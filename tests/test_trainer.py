@@ -174,6 +174,16 @@ def test_prune_checkpoints_retention(tmp_path):
     ckpt.prune_checkpoints(folder, keep=-1)  # keep-all is a no-op
     assert os.path.exists(os.path.join(folder, "ba3"))
 
+    # keep=1 durability window: while a save is UNMARKED, the newest
+    # complete dir must survive (else a crash leaves zero resumable ckpts)
+    ckpt.save_checkpoint(folder, 5, state, {"n": 5}, wait=False)
+    ckpt.prune_checkpoints(folder, keep=1)
+    assert os.path.exists(os.path.join(folder, "ba4", "meta.json"))
+    ckpt.finalize_pending()
+    ckpt.prune_checkpoints(folder, keep=1)  # now ba4 ages out
+    assert not os.path.exists(os.path.join(folder, "ba4"))
+    assert os.path.exists(os.path.join(folder, "ba5", "meta.json"))
+
 
 def test_sigterm_checkpoints_and_exits(tmp_path):
     """A SIGTERM mid-fit (pod preemption notice) stops the step loop at the
