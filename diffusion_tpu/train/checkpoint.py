@@ -148,7 +148,12 @@ def save_checkpoint(save_folder: str, batch: int, train_state: Any,
     write; the marker is written by `finalize_pending()` — called here on
     the next save, by the load/discovery paths, and by Trainer.close — so a
     crash mid-write still leaves only an unmarked (skipped) directory. At
-    most one save is in flight."""
+    most one save is in flight.
+
+    remote=<s3://|gs://|path> mirrors the finalized checkpoint there in a
+    background thread (marker last; upload errors surface at the next
+    save/finalize/drain). Multi-host: save_folder must be one SHARED
+    directory (orbax's own requirement) — process 0 uploads it."""
     from diffusion_tpu.parallel import dist
 
     global _PENDING
