@@ -585,6 +585,17 @@ def main() -> None:
             result["vs_baseline"] = round(
                 e2e["e2e_per_chip"] / baseline_per_chip(res), 4)
             result["total_img_per_sec"] = e2e["e2e_img_per_sec"]
+            if result.get("flops_per_batch"):
+                # end-to-end MFU: step cost analysis priced the train
+                # program; the e2e rate includes everything around it
+                from diffusion_tpu.utils.flops import device_peak_flops
+                peak = device_peak_flops()
+                if peak:
+                    per_img = (result["flops_per_batch"]
+                               / (result["batch_per_chip"]
+                                  * result["n_devices"]))
+                    result["e2e_mfu"] = round(
+                        per_img * e2e["e2e_per_chip"] / peak, 4)
         except Exception as exc:  # noqa: BLE001 — headline number must survive
             result["e2e_error"] = f"{type(exc).__name__}: {exc}"[:200]
     print(json.dumps(result))
