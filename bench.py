@@ -265,6 +265,13 @@ def step_bench() -> dict:
     return result
 
 
+def _bench_ctx_dim() -> int:
+    """Caption-latent width for the e2e dataset: 1024 for SD2, overridable
+    so the CPU smoke (BENCH_BUILDER=...stable_diffusion_tiny) matches the
+    tiny UNet's cross-attention width."""
+    return int(os.environ.get("BENCH_CTX_DIM", "1024"))
+
+
 def _make_latent_mds(out_dir: str, n_samples: int, res: int) -> None:
     """Synthetic precomputed-latent MDS shards, column-compatible with the
     precompute tool's output (scripts/precompute_latents.py; reference
@@ -294,7 +301,7 @@ def _make_latent_mds(out_dir: str, n_samples: int, res: int) -> None:
                 "jpg": b"",
                 "caption": f"synthetic sample {i}",
                 "caption_latents": rng.standard_normal(
-                    (77, 1024)).astype(np.float16).tobytes(),
+                    (77, _bench_ctx_dim())).astype(np.float16).tobytes(),
                 f"latents_{res}": rng.standard_normal(
                     (4, lat, lat)).astype(np.float16).tobytes(),
             })
@@ -472,7 +479,9 @@ def e2e_bench(res: int, steps: int = 24, skip: int = 4) -> dict:
         "name": "bench-e2e",
         "seed": 17,
         "model": {
-            "_target_": "diffusion_tpu.models.models.stable_diffusion_2",
+            "_target_": os.environ.get(
+                "BENCH_BUILDER",
+                "diffusion_tpu.models.models.stable_diffusion_2"),
             "pretrained": False, "precomputed_latents": True,
             "encode_latents_in_fp16": True, "fsdp": n_dev > 1,
             "remat": bench_remat(res),
@@ -490,6 +499,7 @@ def e2e_bench(res: int, steps: int = 24, skip: int = 4) -> dict:
                 "remote": data_dir, "local": None, "batch_size": bsz,
                 "caption_drop_prob": 0.0, "resize_size": res,
                 "precomputed_latents": True, "drop_last": True,
+                "caption_latent_dim": _bench_ctx_dim(),
                 "shuffle": True, "num_workers": 4, "prefetch_factor": 2,
             },
         },

@@ -76,6 +76,7 @@ def build_streaming_laion_dataloader(
     download_timeout: float = 120.0,
     num_canonical_nodes: Optional[int] = None,
     validate_hash: Optional[str] = None,
+    caption_latent_dim: int = 1024,
     num_samples: Optional[int] = None,
     **_: Any,
 ) -> DataLoader:
@@ -90,6 +91,7 @@ def build_streaming_laion_dataloader(
         caption_drop_prob=caption_drop_prob,
         caption_selection=caption_selection, transform=transform,
         image_size=resize_size, precomputed_latents=precomputed_latents,
+        caption_latent_dim=caption_latent_dim,
         predownload=predownload, download_retry=download_retry,
         download_timeout=download_timeout, validate_hash=validate_hash,
         num_canonical_nodes=num_canonical_nodes, batch_size=batch_size)
