@@ -1,0 +1,46 @@
+"""The driver-facing bench contract: `python bench.py` must print ONE valid
+JSON line with metric/value/unit/vs_baseline. Runs the REAL bench path
+(step bench + e2e Trainer.fit over an on-disk MDS) at tiny geometry on the
+CPU mesh, so a regression in bench.py is caught in CI instead of at the
+end-of-round driver run."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_bench_emits_driver_contract(tmp_path):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "BENCH_BUILDER": "diffusion_tpu.models.models.stable_diffusion_tiny",
+        "BENCH_RES": "32",
+        "BENCH_CTX_DIM": "32",
+        "BENCH_BATCH_PER_CHIP": "2",
+        "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
+        # keep the synthetic dataset inside the test sandbox
+        "TMPDIR": str(tmp_path),
+    })
+    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                         env=env, capture_output=True, text=True,
+                         timeout=560)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    result = json.loads(line)  # exactly parseable
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in result, (key, result)
+    assert result["value"] > 0
+    assert result["unit"] == "img/s/chip"
+    # e2e ran and the step bench priced the program
+    assert result["metric"].startswith("trainer_e2e_throughput")
+    assert result["flops_per_batch"] > 0
+    assert result["e2e_steps_timed"] > 0
