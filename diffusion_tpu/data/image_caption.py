@@ -61,6 +61,16 @@ class StreamingImageCaptionDataset(StreamingDataset):
             img = raw
         else:
             img = Image.open(io.BytesIO(raw))
+            # decode at a reduced DCT scale when the source is much larger
+            # than the train resolution (libjpeg 1/2..1/8 scaling) — the
+            # decoder then touches a fraction of the pixels. Keep >= 2x the
+            # target so the LANCZOS resize still has headroom; draft() is a
+            # no-op for non-JPEGs and never upscales.
+            if img.format == "JPEG":
+                t = 2 * self.transform.size if hasattr(
+                    self.transform, "size") else None
+                if t:
+                    img.draft("RGB", (t, t))
         return img.convert("RGB")
 
     def _pick_caption(self, captions: Any) -> str:

@@ -97,6 +97,7 @@ class SDSquareNormalize:
     callable so datasets can cross into process-pool decode workers."""
 
     def __init__(self, size: int):
+        self.size = size  # decode paths read this for JPEG draft scaling
         self.crop = LargestCenterSquare(size)
 
     def __call__(self, img: Image.Image) -> np.ndarray:
