@@ -17,6 +17,7 @@ decode + numpy, threads come from data/dataloader.py's pool, and the
 
 from __future__ import annotations
 
+import functools
 import io
 import json
 import logging
@@ -134,8 +135,13 @@ def rename_keys(samples: Iterable[Dict[str, Any]],
 
 
 def decode_sample(sample: Dict[str, Any],
-                  image_mode: str = "RGB") -> Dict[str, Any]:
-    """json -> dict, txt -> str, image bytes -> PIL (reference :89-107)."""
+                  image_mode: str = "RGB",
+                  draft_size: Optional[int] = None) -> Dict[str, Any]:
+    """json -> dict, txt -> str, image bytes -> PIL (reference :89-107).
+
+    draft_size: when the downstream transform resizes to ~draft_size, pass
+    it here and JPEGs decode at libjpeg's reduced DCT scale (>=2x kept for
+    resample headroom) — a large fraction of raw-LAION decode time."""
     from PIL import Image, ImageFile
     ImageFile.LOAD_TRUNCATED_IMAGES = True  # tolerance, reference :31
     out: Dict[str, Any] = {}
@@ -148,7 +154,10 @@ def decode_sample(sample: Dict[str, Any],
         elif k in ("txt", "text", "caption") and isinstance(v, bytes):
             out[k] = v.decode("utf-8", errors="replace")
         elif k == "image" and isinstance(v, bytes):
-            out[k] = Image.open(io.BytesIO(v)).convert(image_mode)
+            img = Image.open(io.BytesIO(v))
+            if draft_size and img.format == "JPEG":
+                img.draft(image_mode, (2 * draft_size, 2 * draft_size))
+            out[k] = img.convert(image_mode)
         else:
             out[k] = v
     return out
@@ -270,7 +279,9 @@ class WdsPipeline:
                  batch_size: int, filter_strategy: Optional[Mapping] = None,
                  required: Sequence[str] = ("image",),
                  shuffle_buffer: int = 1000, seed: int = 42,
-                 drop_last: bool = True, shuffle: bool = True):
+                 drop_last: bool = True, shuffle: bool = True,
+                 draft_size: Optional[int] = None):
+        self.draft_size = draft_size
         self.shards = list(shards)
         self.transform = transform
         self.batch_size = batch_size
@@ -292,7 +303,9 @@ class WdsPipeline:
                                 jax.process_index())
         samples = tar_samples(shards)
         samples = rename_keys(samples)
-        samples = map_samples(samples, decode_sample)
+        samples = map_samples(
+            samples,
+            functools.partial(decode_sample, draft_size=self.draft_size))
         samples = drop_incomplete(samples, self.required)
         samples = filter_samples(samples, self.filter_strategy)
         if self.shuffle:

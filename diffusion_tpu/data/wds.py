@@ -74,4 +74,5 @@ def build_wds_dataloader(
     return WdsPipeline(shards, fn, batch_size=batch_size,
                        filter_strategy=load_filter_strategy(filter_strategy),
                        shuffle=shuffle, shuffle_buffer=shuffle_buffer,
-                       seed=seed, drop_last=drop_last)
+                       seed=seed, drop_last=drop_last,
+                       draft_size=resize_size)
