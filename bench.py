@@ -353,11 +353,15 @@ def data_bench(res: int = 256) -> dict:
 
     n = int(os.environ.get("BENCH_DATA_SAMPLES", "384"))
     bsz = 32
+    # BENCH_DATA_SRC: source image px (default = res, comparable with r2
+    # numbers). Real LAION sources are larger — set e.g. 1024 to measure
+    # with the reduced-DCT-scale decode path actually engaged.
+    src = int(os.environ.get("BENCH_DATA_SRC", str(res)))
     root = os.path.join(tempfile.gettempdir(),
-                        f"diffusion_tpu_bench_jpeg_{res}")
+                        f"diffusion_tpu_bench_jpeg_{src}_{res}")
     mds_dir = os.path.join(root, "mds")
     os.makedirs(mds_dir, exist_ok=True)
-    _make_jpeg_mds(mds_dir, n, res)
+    _make_jpeg_mds(mds_dir, n, src)
 
     def rate(loader):
         it = iter(loader)
@@ -431,6 +435,7 @@ def data_bench(res: int = 256) -> dict:
         "demand_img_per_sec_per_chip": demand,
         "chips_one_host_can_feed": round(mds_rate / demand, 2),
         "decode_workers": workers,
+        "source_px": src,
         "samples": mds_seen,
     }
 
