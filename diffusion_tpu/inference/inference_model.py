@@ -94,12 +94,14 @@ class StableDiffusionInference:
         self.frozen = frozen
         self._gen_cache: Dict[tuple, Any] = {}
 
-    def _gen_fn(self, steps: int, height: int, width: int, scale: float):
-        key = (steps, height, width, scale)
+    def _gen_fn(self, steps: int, height: int, width: int, scale: float,
+                n_per: int = 1):
+        key = (steps, height, width, scale, n_per)
         if key not in self._gen_cache:
             self._gen_cache[key] = jax.jit(functools.partial(
                 self.model.generate, height=height, width=width,
-                guidance_scale=scale, num_inference_steps=steps))
+                guidance_scale=scale, num_inference_steps=steps,
+                num_images_per_prompt=n_per))
         return self._gen_cache[key]
 
     @staticmethod
@@ -120,6 +122,7 @@ class StableDiffusionInference:
                int(inputs.get("width", default_size)),
                float(inputs.get("guidance_scale", 7.5)),
                int(inputs.get("seed", default_seed)),
+               int(inputs.get("num_images_per_prompt", 1)),
                negatives is not None)
         return prompts, negatives, key
 
@@ -147,7 +150,7 @@ class StableDiffusionInference:
         keys = {p[2] for p in parsed}
         if len(keys) > 1:
             raise ValueError(f"unmergeable requests: {sorted(keys)}")
-        steps, height, width, scale, seed, has_neg = parsed[0][2]
+        steps, height, width, scale, seed, n_per, has_neg = parsed[0][2]
         prompts = [p for pr, _, _ in parsed for p in pr]
         negatives = ([n for _, ng, _ in parsed for n in ng]
                      if has_neg else None)
@@ -159,15 +162,17 @@ class StableDiffusionInference:
         negative_ids = (jnp.asarray(
             tok(negatives + [negatives[-1]] * (padded - n))["input_ids"])
             if has_neg else None)
-        images = self._gen_fn(steps, height, width, scale)(
+        images = self._gen_fn(steps, height, width, scale, n_per)(
             self.params, self.frozen, prompt_ids, negative_ids=negative_ids,
             seed=seed)
+        # jnp.repeat keeps prompt-major order: prompt i's copies occupy
+        # rows [i*n_per, (i+1)*n_per); padded prompts trail and are dropped
         encoded = [image_to_base64_png(img)
-                   for img in np.asarray(images[:n])]
+                   for img in np.asarray(images[:n * n_per])]
         out, i = [], 0
         for pr, _, _ in parsed:
-            out.append(encoded[i:i + len(pr)])
-            i += len(pr)
+            out.append(encoded[i:i + len(pr) * n_per])
+            i += len(pr) * n_per
         return out
 
     def predict(self, **inputs: Any) -> List[str]:

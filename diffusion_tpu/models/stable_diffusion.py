@@ -198,24 +198,56 @@ class StableDiffusion:
         latents, _ = jax.lax.scan(body, latents, (jnp.asarray(ts), jnp.asarray(tps)))
         return latents
 
-    def generate(self, params: Dict, frozen: Dict, prompt_ids: jnp.ndarray,
+    def generate(self, params: Dict, frozen: Dict,
+                 prompt_ids: Optional[jnp.ndarray] = None,
                  negative_ids: Optional[jnp.ndarray] = None,
+                 prompt_embeds: Optional[jnp.ndarray] = None,
+                 negative_prompt_embeds: Optional[jnp.ndarray] = None,
                  height: int = 256, width: int = 256,
                  guidance_scale: float = 3.0, num_inference_steps: int = 50,
+                 num_images_per_prompt: int = 1,
                  seed: Optional[int] = None,
                  rng: Optional[jax.Array] = None) -> jnp.ndarray:
         """Text -> images in [0, 1], (B, H, W, 3). Same seed => same images
-        (reference seeds a torch Generator, ref :322-326; here a jax key)."""
+        (reference seeds a torch Generator, ref :322-326; here a jax key).
+
+        Pre-computed `prompt_embeds`/`negative_prompt_embeds` (B, 77, D)
+        bypass the text encoder (reference generate's prompt_embeds surface,
+        ref :266-267); `num_images_per_prompt` repeats each conditioning
+        (ref :272)."""
         if rng is None:
             rng = jax.random.key(self.val_seed if seed is None else seed)
-        if "text_encoder" not in frozen:
-            raise ValueError(
-                "generation requires the frozen VAE/CLIP towers, but they "
-                "were not initialized (init_frozen_towers resolved False on "
-                "the precomputed-latent path). Pass init_frozen_towers=true "
-                "to the model builder.")
-        bsz = prompt_ids.shape[0]
-        embeddings = self.embed_prompts(frozen, prompt_ids, negative_ids)
+        if prompt_embeds is not None:
+            cond = jnp.asarray(prompt_embeds)
+            if negative_prompt_embeds is not None:
+                uncond = jnp.asarray(negative_prompt_embeds)
+            else:
+                pad = getattr(self.tokenizer, "pad_token_id", 0)
+                bos = getattr(self.tokenizer, "bos_token_id", 0)
+                eos = getattr(self.tokenizer, "eos_token_id", 0)
+                empty = jnp.full((cond.shape[0], cond.shape[1]), pad,
+                                 jnp.int32)
+                empty = empty.at[:, 0].set(bos).at[:, 1].set(eos)
+                uncond = self.encode_text(frozen, empty)
+            embeddings = jnp.concatenate([uncond, cond], axis=0)
+            bsz = cond.shape[0]
+        else:
+            if prompt_ids is None:
+                raise ValueError("need prompt_ids or prompt_embeds")
+            if "text_encoder" not in frozen:
+                raise ValueError(
+                    "generation requires the frozen VAE/CLIP towers, but "
+                    "they were not initialized (init_frozen_towers resolved "
+                    "False on the precomputed-latent path). Pass "
+                    "init_frozen_towers=true to the model builder.")
+            bsz = prompt_ids.shape[0]
+            embeddings = self.embed_prompts(frozen, prompt_ids, negative_ids)
+        if num_images_per_prompt > 1:
+            uncond, cond = jnp.split(embeddings, 2, axis=0)
+            embeddings = jnp.concatenate(
+                [jnp.repeat(uncond, num_images_per_prompt, axis=0),
+                 jnp.repeat(cond, num_images_per_prompt, axis=0)], axis=0)
+            bsz = bsz * num_images_per_prompt
         latents = jax.random.normal(
             rng, (bsz, height // 8, width // 8, self.vae.config.latent_channels),
             jnp.float32) * self.inference_scheduler.init_noise_sigma

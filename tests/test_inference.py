@@ -70,6 +70,14 @@ def test_predict_many_merges_and_slices(endpoint):
             {"prompt": "b", "num_inference_steps": 2}])
 
 
+def test_predict_num_images_per_prompt(endpoint):
+    images = endpoint.predict(prompt="a fox", num_inference_steps=1,
+                              guidance_scale=1.0, num_images_per_prompt=3)
+    assert len(images) == 3
+    for b64 in images:
+        assert _decode_png(b64).shape == (32, 32, 3)
+
+
 def test_batch_key_groups_by_config(endpoint):
     k1 = endpoint.batch_key({"prompt": "a", "num_inference_steps": 2})
     k2 = endpoint.batch_key({"prompt": "zzz", "num_inference_steps": 2})

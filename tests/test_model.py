@@ -63,6 +63,37 @@ def test_model_generate(sd, guidance_scale, negative_prompt):
     assert arr.min() >= 0.0 and arr.max() <= 1.0
 
 
+def test_generate_from_prompt_embeds_and_multi_images(sd):
+    """Reference generate surface parity: pre-computed prompt_embeds bypass
+    the text encoder (ref stable_diffusion.py:266-267 — with BOTH embeds no
+    tower is touched), and num_images_per_prompt repeats conditioning
+    (ref :272), matching the tokenized path's output for the same seed."""
+    model, params, frozen = sd
+    prompt_ids = jnp.asarray(model.tokenizer(["a cute cat"])["input_ids"])
+    cond = model.encode_text(frozen, prompt_ids)
+    via_ids = model.generate(params, frozen, prompt_ids, height=32, width=32,
+                             num_inference_steps=1, seed=3)
+    via_embeds = model.generate(params, frozen, prompt_embeds=cond,
+                                height=32, width=32,
+                                num_inference_steps=1, seed=3)
+    np.testing.assert_allclose(np.asarray(via_ids), np.asarray(via_embeds),
+                               atol=1e-5)
+
+    # both embeds given: works without any text tower in `frozen`
+    neg_ids = jnp.asarray(model.tokenizer([""])["input_ids"])
+    uncond = model.encode_text(frozen, neg_ids)
+    no_tower = {k: v for k, v in frozen.items() if k != "text_encoder"}
+    out = model.generate(params, no_tower, prompt_embeds=cond,
+                         negative_prompt_embeds=uncond, height=32, width=32,
+                         num_inference_steps=1, seed=3)
+    assert out.shape == (1, 32, 32, 3)
+
+    multi = model.generate(params, frozen, prompt_ids, height=32, width=32,
+                           num_inference_steps=1, num_images_per_prompt=3,
+                           seed=3)
+    assert multi.shape == (3, 32, 32, 3)
+
+
 def test_generate_deterministic_in_seed(sd):
     model, params, frozen = sd
     prompt_ids = jnp.asarray(model.tokenizer(["a dog"])["input_ids"])
