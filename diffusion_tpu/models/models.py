@@ -33,7 +33,9 @@ from diffusion_tpu.models.stable_diffusion import StableDiffusion
 from diffusion_tpu.models.unet import PIXEL_UNET, SD2_BASE_UNET, UNet2DCondition
 from diffusion_tpu.models.vae import SD2_VAE, AutoencoderKL
 from diffusion_tpu.schedulers import (ContinuousTimeScheduler, DDIMScheduler,
-                                      DDPMScheduler)
+                                      DDPMScheduler,
+                                      DPMSolverMultistepScheduler,
+                                      EulerDiscreteScheduler)
 from diffusion_tpu.text.tokenizer import CLIPTokenizer, tiny_tokenizer
 
 __all__ = ["stable_diffusion_2", "discrete_pixel_diffusion",
@@ -44,6 +46,27 @@ def _load_tokenizer(path: Optional[str]) -> CLIPTokenizer:
     if path and os.path.exists(path):
         return CLIPTokenizer.from_pretrained(path)
     return tiny_tokenizer()
+
+
+# Samplers selectable from yaml (`model.inference_scheduler:`). All share the
+# SD2 noise schedule defaults (0.00085->0.012 scaled_linear); 'dpm++2m' is the
+# beyond-reference fast sampler (schedulers/dpm.py), ~2-3x fewer UNet evals
+# for 50-step-DDIM quality.
+_INFERENCE_SCHEDULERS = {
+    "ddim": DDIMScheduler,
+    "dpm++2m": DPMSolverMultistepScheduler,
+    "dpm": DPMSolverMultistepScheduler,
+    "euler": EulerDiscreteScheduler,
+}
+
+
+def _make_inference_scheduler(name: str):
+    try:
+        return _INFERENCE_SCHEDULERS[name.lower()]()
+    except KeyError:
+        raise ValueError(
+            f"unknown inference_scheduler {name!r}; choose from "
+            f"{sorted(_INFERENCE_SCHEDULERS)}") from None
 
 
 def stable_diffusion_2(
@@ -62,6 +85,7 @@ def stable_diffusion_2(
     clip_metric_weights: Optional[str] = None,
     allow_random_tower_weights: bool = False,
     init_frozen_towers: Optional[bool] = None,
+    inference_scheduler: str = "ddim",
 ) -> StableDiffusion:
     """SD-2.0-base training setup (reference models.py:28-112).
 
@@ -77,7 +101,7 @@ def stable_diffusion_2(
     text_encoder = CLIPTextModel(SD2_TEXT_CONFIG, dtype=dtype)
     tokenizer = _load_tokenizer(model_name)
     noise_scheduler = DDPMScheduler()          # SD2: 0.00085->0.012 scaled_linear
-    inference_scheduler = DDIMScheduler()
+    inference_scheduler = _make_inference_scheduler(inference_scheduler)
 
     if pretrained and not (model_name and os.path.isdir(model_name)):
         raise FileNotFoundError(
@@ -108,6 +132,7 @@ def stable_diffusion_tiny(val_guidance_scales: Optional[List[float]] = None,
                           pretrained: bool = False,
                           val_metrics: Optional[List[Any]] = None,
                           allow_random_tower_weights: bool = False,
+                          inference_scheduler: str = "ddim",
                           **_: Any) -> StableDiffusion:
     """Tiny-geometry StableDiffusion for smoke tests / CI / CPU runs —
     real architecture, small channels (the reference's own test strategy,
@@ -133,7 +158,7 @@ def stable_diffusion_tiny(val_guidance_scales: Optional[List[float]] = None,
     return StableDiffusion(
         unet=unet, vae=vae, text_encoder=text_encoder,
         tokenizer=tiny_tokenizer(), noise_scheduler=DDPMScheduler(),
-        inference_scheduler=DDIMScheduler(),
+        inference_scheduler=_make_inference_scheduler(inference_scheduler),
         precomputed_latents=precomputed_latents,
         pretrained_path=model_name if pretrained else None,
         val_metric_names=tuple(val_metrics or ("MeanSquaredError",)),

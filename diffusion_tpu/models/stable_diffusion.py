@@ -50,7 +50,10 @@ class StableDiffusion:
     text_encoder: CLIPTextModel
     tokenizer: Any
     noise_scheduler: DDPMScheduler
-    inference_scheduler: DDIMScheduler
+    # Any scheduler following the repo protocol (schedulers/): DDIM by
+    # default; DPM-Solver++(2M)/Euler via the builder's inference_scheduler
+    # knob. Multistep solvers additionally expose init_state/step_with_state.
+    inference_scheduler: Any
     prediction_type: str = "epsilon"
     latent_scale: float = 0.18215
     precomputed_latents: bool = False
@@ -182,20 +185,44 @@ class StableDiffusion:
     def denoise_loop(self, params: Dict, latents: jnp.ndarray,
                      text_embeddings: jnp.ndarray, guidance_scale: float,
                      num_inference_steps: int) -> jnp.ndarray:
-        """CFG DDIM loop under lax.scan (ref :359-375, one compile)."""
-        ts, tps = self.inference_scheduler.timesteps(num_inference_steps)
+        """CFG denoise loop under lax.scan (ref :359-375, one compile).
 
-        def body(lat, t_pair):
-            t, tp = t_pair
+        Works with any scheduler following the repo protocol. Multistep
+        solvers (schedulers/dpm.py DPM-Solver++(2M)) expose `init_state`;
+        their per-step state is carried through the scan alongside the
+        latents so the whole loop still compiles to one XLA while-loop."""
+        sched = self.inference_scheduler
+        ts, tps = sched.timesteps(num_inference_steps)
+        n = len(ts)
+
+        def cfg_pred(lat, t):
             model_in = jnp.concatenate([lat, lat], axis=0)
-            model_in = self.inference_scheduler.scale_model_input(model_in, t)
+            model_in = sched.scale_model_input(model_in, t)
             tt = jnp.broadcast_to(t, (model_in.shape[0],))
             pred = self.unet.apply(params, model_in, tt, text_embeddings)
             uncond, cond = jnp.split(pred, 2, axis=0)
-            pred = uncond + guidance_scale * (cond - uncond)
-            return self.inference_scheduler.step(pred, t, tp, lat), None
+            return uncond + guidance_scale * (cond - uncond)
 
-        latents, _ = jax.lax.scan(body, latents, (jnp.asarray(ts), jnp.asarray(tps)))
+        if hasattr(sched, "init_state"):
+            def body(carry, xs):
+                lat, state = carry
+                i, t, tp = xs
+                pred = cfg_pred(lat, t)
+                lat, state = sched.step_with_state(pred, t, tp, lat, state,
+                                                   i, n)
+                return (lat, state), None
+
+            (latents, _), _ = jax.lax.scan(
+                body, (latents, sched.init_state(latents)),
+                (jnp.arange(n), jnp.asarray(ts), jnp.asarray(tps)))
+        else:
+            def body(lat, t_pair):
+                t, tp = t_pair
+                pred = cfg_pred(lat, t)
+                return sched.step(pred, t, tp, lat), None
+
+            latents, _ = jax.lax.scan(body, latents,
+                                      (jnp.asarray(ts), jnp.asarray(tps)))
         return latents
 
     def generate(self, params: Dict, frozen: Dict,

@@ -1,0 +1,215 @@
+"""DPM-Solver++(2M) and Euler samplers as pure, `lax.scan`-ready functions.
+
+Beyond-reference capability: the reference ships only DDPM/DDIM/continuous
+samplers (reference: diffusion/models/models.py:88-89, schedulers/
+schedulers.py), so generation pays 50 UNet evaluations per guidance branch.
+DPM-Solver++(2M) (Lu et al. 2022, arXiv:2211.01095) is a second-order
+multistep ODE solver over the same VP diffusion: 15-25 steps match 50-step
+DDIM quality, cutting serving latency and online-eval cost ~2-3x on the same
+chip. EulerDiscrete is the sigma-space first-order baseline (Karras et al.
+2022, arXiv:2206.00364 algorithm 1) popular for SD inference.
+
+Both follow this repo's scheduler protocol (schedulers/ddim.py): `timesteps`
+returns the whole descending (t, t_prev) sequence up front and the step
+functions are pure, so the sampling loop compiles once under `jax.lax.scan`.
+DPM-Solver++ is *multistep* — it reuses the previous step's denoised
+prediction — so it carries explicit state through the scan
+(`init_state` / `step_with_state`); models detect that via `init_state`
+(models/stable_diffusion.py denoise_loop).
+
+Exactness anchors (pinned in tests/test_schedulers.py):
+- a first-order DPM-Solver++ step is algebraically identical to a DDIM
+  (eta=0) step — both move along x_prev = alpha_prev*x0 + sigma_prev*eps;
+- one Euler step with an exact epsilon oracle recovers x0 exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_tpu.schedulers.ddpm import make_beta_schedule
+
+__all__ = ["DPMSolverMultistepScheduler", "EulerDiscreteScheduler"]
+
+
+def _x0_from_output(model_output, sample, alpha_t, sigma_t, prediction_type):
+    """Denoised prediction in the VP parameterization x_t = a*x0 + s*eps."""
+    if prediction_type == "epsilon":
+        return (sample - sigma_t * model_output) / alpha_t
+    if prediction_type == "sample":
+        return model_output
+    if prediction_type == "v_prediction":
+        return alpha_t * sample - sigma_t * model_output
+    raise ValueError(f"unknown prediction_type {prediction_type!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class DPMSolverMultistepScheduler:
+    """DPM-Solver++(2M): 2nd-order multistep in log-SNR (lambda) space.
+
+    Data-prediction (++) variant, midpoint update, `lower_order_final`
+    first-order fallback on the terminal step (the standard stable recipe
+    for <15-step sampling). State carried through the scan: the previous
+    denoised prediction and its lambda.
+    """
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+    prediction_type: str = "epsilon"
+    steps_offset: int = 1
+    lower_order_final: bool = True
+
+    @property
+    def alphas_cumprod(self) -> jnp.ndarray:
+        betas = make_beta_schedule(self.beta_schedule, self.num_train_timesteps,
+                                   self.beta_start, self.beta_end)
+        return jnp.asarray(np.cumprod(1.0 - betas), dtype=jnp.float32)
+
+    @property
+    def init_noise_sigma(self) -> float:
+        return 1.0
+
+    def scale_model_input(self, sample: jnp.ndarray, t) -> jnp.ndarray:
+        return sample
+
+    def timesteps(self, num_inference_steps: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Same descending (t, t_prev) grid as DDIMScheduler.timesteps."""
+        step_ratio = self.num_train_timesteps // num_inference_steps
+        ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1]
+        ts = ts.astype(np.int64) + self.steps_offset
+        ts = np.minimum(ts, self.num_train_timesteps - 1)
+        t_prev = ts - step_ratio
+        return ts.astype(np.int32), t_prev.astype(np.int32)
+
+    # ---- multistep state -------------------------------------------------
+    def init_state(self, latents: jnp.ndarray):
+        """(prev_x0, prev_lambda); contents unused on the first step."""
+        return (jnp.zeros_like(latents, dtype=jnp.float32),
+                jnp.zeros((), jnp.float32))
+
+    def _coeffs(self, t, t_prev):
+        abar = self.alphas_cumprod
+        a2_t = abar[t]
+        # t_prev < 0 means "final": sigma -> 0 (abar -> 1). A tiny floor keeps
+        # lambda finite; the update then returns x0 to float32 precision.
+        a2_p = jnp.where(t_prev >= 0, abar[jnp.maximum(t_prev, 0)], 1.0)
+        alpha_t, sigma_t = jnp.sqrt(a2_t), jnp.sqrt(1.0 - a2_t)
+        alpha_p = jnp.sqrt(a2_p)
+        sigma_p = jnp.maximum(jnp.sqrt(1.0 - a2_p), 1e-12)
+        lam_t = jnp.log(alpha_t / sigma_t)
+        lam_p = jnp.log(alpha_p / sigma_p)
+        return alpha_t, sigma_t, lam_t, alpha_p, sigma_p, lam_p
+
+    def step_with_state(self, model_output: jnp.ndarray, t, t_prev,
+                        sample: jnp.ndarray, state, step_index,
+                        num_steps: int):
+        """One DPM-Solver++(2M) update x_t -> x_{t_prev}; jit-safe.
+
+        `step_index` is the position in the descending timestep sequence
+        (traced scalar ok); `num_steps` is its static length.
+        """
+        alpha_t, sigma_t, lam_t, alpha_p, sigma_p, lam_p = \
+            self._coeffs(t, t_prev)
+        x = sample.astype(jnp.float32)
+        x0 = _x0_from_output(model_output.astype(jnp.float32), x,
+                             alpha_t, sigma_t, self.prediction_type)
+
+        prev_x0, prev_lam = state
+        h = lam_p - lam_t
+        one_m_exp = 1.0 - jnp.exp(-h)
+        first = (x * (sigma_p / sigma_t)) + alpha_p * one_m_exp * x0
+
+        # midpoint 2M correction: D1 = (x0_t - x0_{t-1}) / r, r = h_last / h
+        h_last = lam_t - prev_lam
+        r = h_last / h
+        d1 = (x0 - prev_x0) / jnp.maximum(r, 1e-12)
+        second = first + 0.5 * alpha_p * one_m_exp * d1
+
+        is_first = step_index == 0
+        is_last = step_index == num_steps - 1
+        use_second = jnp.logical_not(
+            jnp.logical_or(is_first,
+                           jnp.logical_and(is_last,
+                                           bool(self.lower_order_final))))
+        prev = jnp.where(use_second, second, first)
+        return prev.astype(sample.dtype), (x0, lam_t)
+
+    def step(self, model_output: jnp.ndarray, t, t_prev,
+             sample: jnp.ndarray) -> jnp.ndarray:
+        """Stateless = first-order (DPM-Solver++(1)); equals DDIM eta=0."""
+        out, _ = self.step_with_state(model_output, t, t_prev, sample,
+                                      self.init_state(sample), 0, 1)
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
+class EulerDiscreteScheduler:
+    """Karras-style Euler sampler over the discrete VP noise schedule.
+
+    Works in sigma-space (x = x0 + sigma * eps): the model is fed
+    x / sqrt(sigma^2 + 1) — exactly the VP x_t — so an epsilon/v-prediction
+    UNet trained under DDPM drops in unchanged. First-order, stateless.
+    """
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+    prediction_type: str = "epsilon"
+    steps_offset: int = 1
+
+    @property
+    def alphas_cumprod(self) -> jnp.ndarray:
+        betas = make_beta_schedule(self.beta_schedule, self.num_train_timesteps,
+                                   self.beta_start, self.beta_end)
+        return jnp.asarray(np.cumprod(1.0 - betas), dtype=jnp.float32)
+
+    def _sigma(self, t) -> jnp.ndarray:
+        a2 = self.alphas_cumprod[jnp.maximum(t, 0)]
+        sig = jnp.sqrt((1.0 - a2) / a2)
+        return jnp.where(t >= 0, sig, 0.0)
+
+    @property
+    def init_noise_sigma(self) -> float:
+        ts, _ = self.timesteps(self.num_train_timesteps)
+        return float(self._sigma(jnp.asarray(int(ts[0]))))
+
+    def scale_model_input(self, sample: jnp.ndarray, t) -> jnp.ndarray:
+        sigma = self._sigma(t)
+        return (sample.astype(jnp.float32)
+                / jnp.sqrt(sigma ** 2 + 1.0)).astype(sample.dtype)
+
+    def timesteps(self, num_inference_steps: int) -> Tuple[np.ndarray, np.ndarray]:
+        step_ratio = self.num_train_timesteps // num_inference_steps
+        ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1]
+        ts = ts.astype(np.int64) + self.steps_offset
+        ts = np.minimum(ts, self.num_train_timesteps - 1)
+        t_prev = ts - step_ratio
+        return ts.astype(np.int32), t_prev.astype(np.int32)
+
+    def step(self, model_output: jnp.ndarray, t, t_prev,
+             sample: jnp.ndarray) -> jnp.ndarray:
+        """x_{t_prev} = x_t + (sigma_prev - sigma_t) * d, d = (x_t - x0)/sigma."""
+        sigma = self._sigma(t)
+        sigma_prev = self._sigma(t_prev)
+        x = sample.astype(jnp.float32)
+        out = model_output.astype(jnp.float32)
+        if self.prediction_type == "epsilon":
+            x0 = x - sigma * out
+        elif self.prediction_type == "sample":
+            x0 = out
+        elif self.prediction_type == "v_prediction":
+            # model saw x/sqrt(sigma^2+1); standard EulerDiscrete conversion
+            x0 = (-out * sigma / jnp.sqrt(sigma ** 2 + 1.0)
+                  + x / (sigma ** 2 + 1.0))
+        else:
+            raise ValueError(f"unknown prediction_type {self.prediction_type!r}")
+        d = (x - x0) / jnp.maximum(sigma, 1e-12)
+        prev = x + (sigma_prev - sigma) * d
+        return prev.astype(sample.dtype)

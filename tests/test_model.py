@@ -63,6 +63,40 @@ def test_model_generate(sd, guidance_scale, negative_prompt):
     assert arr.min() >= 0.0 and arr.max() <= 1.0
 
 
+@pytest.mark.parametrize("scheduler_name", ["dpm++2m", "euler"])
+def test_model_generate_fast_samplers(sd, scheduler_name):
+    """The denoise loop dispatches on the scheduler protocol: DPM-Solver++
+    (multistep state through the scan) and Euler (sigma-space scaling) both
+    generate valid images from the same trained params (schedulers/dpm.py)."""
+    import dataclasses
+
+    from diffusion_tpu.models.models import _make_inference_scheduler
+    model, params, frozen = sd
+    model = dataclasses.replace(
+        model, inference_scheduler=_make_inference_scheduler(scheduler_name))
+    prompt_ids = jnp.asarray(model.tokenizer(["a cute cat"])["input_ids"])
+    out = model.generate(params, frozen, prompt_ids, height=32, width=32,
+                         guidance_scale=3.0, num_inference_steps=4, seed=0)
+    assert out.shape == (1, 32, 32, 3)
+    arr = np.asarray(out)
+    assert np.isfinite(arr).all()
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+def test_inference_scheduler_builder_knob():
+    """yaml surface: model.inference_scheduler selects the sampler; unknown
+    names fail fast with the choices listed."""
+    from diffusion_tpu.models.models import stable_diffusion_tiny
+    from diffusion_tpu.schedulers import (DPMSolverMultistepScheduler,
+                                          EulerDiscreteScheduler)
+    m = stable_diffusion_tiny(inference_scheduler="dpm++2m")
+    assert isinstance(m.inference_scheduler, DPMSolverMultistepScheduler)
+    m = stable_diffusion_tiny(inference_scheduler="euler")
+    assert isinstance(m.inference_scheduler, EulerDiscreteScheduler)
+    with pytest.raises(ValueError, match="ddim"):
+        stable_diffusion_tiny(inference_scheduler="nope")
+
+
 def test_generate_from_prompt_embeds_and_multi_images(sd):
     """Reference generate surface parity: pre-computed prompt_embeds bypass
     the text encoder (ref stable_diffusion.py:266-267 — with BOTH embeds no
