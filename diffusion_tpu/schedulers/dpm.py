@@ -177,8 +177,16 @@ class EulerDiscreteScheduler:
 
     @property
     def init_noise_sigma(self) -> float:
+        # pure numpy: this property is read at trace time (generate scales
+        # the initial latents by it), so it must stay a Python float —
+        # jnp ops here would stage to a tracer under jit (omnistaging)
+        betas = make_beta_schedule(self.beta_schedule,
+                                   self.num_train_timesteps,
+                                   self.beta_start, self.beta_end)
+        abar = np.cumprod(1.0 - betas)
         ts, _ = self.timesteps(self.num_train_timesteps)
-        return float(self._sigma(jnp.asarray(int(ts[0]))))
+        a2 = abar[int(ts[0])]
+        return float(np.sqrt((1.0 - a2) / a2))
 
     def scale_model_input(self, sample: jnp.ndarray, t) -> jnp.ndarray:
         sigma = self._sigma(t)

@@ -53,6 +53,11 @@ def main(argv=None) -> dict:
     p.add_argument("--allow_random_towers", action="store_true",
                    help="permit random metric-tower weights (CI/smoke only "
                         "- FID numbers are meaningless without real towers)")
+    p.add_argument("--scheduler", default="ddim",
+                   choices=["ddim", "dpm++2m", "euler"],
+                   help="sampler for eval generation; dpm++2m at "
+                        "--num_inference_steps 20 matches 50-step DDIM "
+                        "quality at ~2.5x the eval throughput")
     p.add_argument("--out", default="eval_metrics.jsonl")
     args = p.parse_args(argv)
 
@@ -73,6 +78,7 @@ def main(argv=None) -> dict:
         val_metrics=["FrechetInceptionDistance", "CLIPScore"],
         val_guidance_scales=[args.guidance_scale], val_seed=args.seed,
         allow_random_tower_weights=args.allow_random_towers,
+        inference_scheduler=args.scheduler,
         fsdp=True)
     trainer = Trainer(
         model=model,

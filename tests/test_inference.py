@@ -85,6 +85,27 @@ def test_batch_key_groups_by_config(endpoint):
                              "seed": 9})
     assert k1 == k2          # prompts don't block merging
     assert k1 != k3          # different RNG stream must not merge
+    k4 = endpoint.batch_key({"prompt": "a", "num_inference_steps": 2,
+                             "scheduler": "dpm++2m"})
+    assert k1 != k4          # different sampler = different device program
+
+
+def test_predict_per_request_scheduler(endpoint):
+    """`scheduler` in the request switches the sampler (same weights) —
+    dpm++2m and euler produce valid PNGs and differ from the DDIM images."""
+    # 3 steps so DPM++(2M)'s middle step is genuinely second-order (first
+    # step has no history; last is forced first-order by lower_order_final)
+    kw = dict(prompt="a majestic lion", num_inference_steps=3,
+              guidance_scale=3.0, seed=5)
+    ddim = endpoint.predict(**kw)
+    dpm = endpoint.predict(scheduler="dpm++2m", **kw)
+    euler = endpoint.predict(scheduler="euler", **kw)
+    for imgs in (ddim, dpm, euler):
+        assert _decode_png(imgs[0]).shape == (32, 32, 3)
+    # multistep vs first-order trajectories genuinely diverge
+    assert dpm != ddim and euler != ddim
+    with pytest.raises(ValueError, match="unknown inference_scheduler"):
+        endpoint.predict(scheduler="nope", **kw)
 
 
 def test_batcher_coalesces_concurrent_requests(endpoint):

@@ -92,3 +92,16 @@ def test_sampling_bench_smoke():
                    "--steps", "2", "--iters", "1"])
     assert result["metric"] == "ddim2_samples_per_min_32px"
     assert math.isfinite(result["value"]) and result["value"] > 0
+
+
+@pytest.mark.slow
+def test_sampling_bench_dpm_smoke():
+    """--scheduler dpm++2m drives the multistep scan path through the same
+    serving bench surface (schedulers/dpm.py)."""
+    from scripts.bench_sampling import main
+
+    result = main(["--tiny", "--size", "32", "--batch", "2",
+                   "--steps", "2", "--iters", "1",
+                   "--scheduler", "dpm++2m"])
+    assert result["metric"] == "dpmpp2m2_samples_per_min_32px"
+    assert math.isfinite(result["value"]) and result["value"] > 0
