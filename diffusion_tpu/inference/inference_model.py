@@ -101,8 +101,8 @@ class StableDiffusionInference:
             model = self.model
             if scheduler:
                 # per-request sampler: same weights, different denoise
-                # program (e.g. scheduler=dpm++2m serves ~2.5x faster at
-                # matched quality; schedulers/dpm.py). One compile per
+                # program (scheduler=dpm++2m measured 1.9x serving
+                # throughput at matched quality; schedulers/dpm.py). One compile per
                 # (config, sampler), cached like every other key element.
                 import dataclasses
 
