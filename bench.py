@@ -191,7 +191,9 @@ def step_bench() -> dict:
         ca = lowered.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
-        flops_per_batch = float(ca.get("flops", 0.0)) or None
+        # some PJRT backends (the axon relay) return None: no FLOPs report,
+        # but the AOT compile below must still happen
+        flops_per_batch = (float(ca.get("flops", 0.0)) or None) if ca else None
         train_step = lowered.compile()
     except Exception as e:  # noqa: BLE001 — bench must still run
         sys.stderr.write(f"AOT lowering unavailable ({type(e).__name__}: "

@@ -102,23 +102,27 @@ class StableDiffusionInference:
             if scheduler:
                 # per-request sampler: same weights, different denoise
                 # program (scheduler=dpm++2m measured 1.9x serving
-                # throughput at matched quality; schedulers/dpm.py). One compile per
-                # (config, sampler), cached like every other key element.
+                # throughput at matched quality; schedulers/dpm.py). One
+                # compile per (config, sampler), cached like every other key
+                # element. `like=` carries the served model's noise-schedule
+                # and prediction config into the new sampler, so a
+                # v_prediction or custom-beta deployment keeps its schedule.
                 import dataclasses
 
                 from diffusion_tpu.models.models import \
                     _make_inference_scheduler
                 model = dataclasses.replace(
                     model,
-                    inference_scheduler=_make_inference_scheduler(scheduler))
+                    inference_scheduler=_make_inference_scheduler(
+                        scheduler, like=model.inference_scheduler))
             self._gen_cache[key] = jax.jit(functools.partial(
                 model.generate, height=height, width=width,
                 guidance_scale=scale, num_inference_steps=steps,
                 num_images_per_prompt=n_per))
         return self._gen_cache[key]
 
-    @staticmethod
-    def _parse(inputs: Dict[str, Any], default_size: int, default_seed: int):
+    def _parse(self, inputs: Dict[str, Any], default_size: int,
+               default_seed: int):
         """-> (prompts, negatives_or_None, config_key). The key is what must
         match for two requests to share one device program invocation."""
         prompt = inputs.get("prompt")
@@ -130,7 +134,6 @@ class StableDiffusionInference:
                      else (list(negative) if negative else None))  # [] = none
         if negatives is not None and len(negatives) != len(prompts):
             raise ValueError("negative_prompt count != prompt count")
-        scheduler = inputs.get("scheduler")
         key = (int(inputs.get("num_inference_steps", 50)),
                int(inputs.get("height", default_size)),
                int(inputs.get("width", default_size)),
@@ -138,8 +141,24 @@ class StableDiffusionInference:
                int(inputs.get("seed", default_seed)),
                int(inputs.get("num_images_per_prompt", 1)),
                negatives is not None,
-               str(scheduler) if scheduler else None)
+               self._normalize_scheduler(inputs.get("scheduler")))
         return prompts, negatives, key
+
+    def _normalize_scheduler(self, requested) -> Optional[str]:
+        """Canonical per-request sampler name, or None for 'the model's
+        own'. Normalizing here (lowercase, alias 'dpm', and folding an
+        explicit request for the model's configured sampler to None) keeps
+        equivalent requests in ONE batch bucket and ONE compiled program —
+        an uncanonicalized string would fragment batching and duplicate
+        multi-minute XLA compiles. Unknown names raise ValueError at parse
+        time (a client error), not inside the device dispatch."""
+        if not requested:
+            return None
+        from diffusion_tpu.models.models import canonical_scheduler_name
+        name = canonical_scheduler_name(str(requested))
+        if name == canonical_scheduler_name(self.model.inference_scheduler):
+            return None
+        return name
 
     def batch_key(self, inputs: Dict[str, Any]) -> tuple:
         """Requests with equal keys are mergeable into one generate call
@@ -164,7 +183,9 @@ class StableDiffusionInference:
                   for r in requests]
         keys = {p[2] for p in parsed}
         if len(keys) > 1:
-            raise ValueError(f"unmergeable requests: {sorted(keys)}")
+            # sort by repr: keys can mix None and str in the scheduler slot
+            raise ValueError(
+                f"unmergeable requests: {sorted(keys, key=repr)}")
         steps, height, width, scale, seed, n_per, has_neg, sched = parsed[0][2]
         prompts = [p for pr, _, _ in parsed for p in pr]
         negatives = ([n for _, ng, _ in parsed for n in ng]

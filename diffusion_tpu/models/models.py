@@ -60,13 +60,39 @@ _INFERENCE_SCHEDULERS = {
 }
 
 
-def _make_inference_scheduler(name: str):
-    try:
-        return _INFERENCE_SCHEDULERS[name.lower()]()
-    except KeyError:
+def canonical_scheduler_name(name_or_sched) -> Optional[str]:
+    """Canonical sampler name: 'dpm' aliases to 'dpm++2m', case-folded.
+    Accepts a name or a scheduler instance (reverse lookup); returns None
+    for schedulers outside the selectable set (e.g. continuous-time)."""
+    if not isinstance(name_or_sched, str):
+        for name in ("ddim", "dpm++2m", "euler"):
+            if type(name_or_sched) is _INFERENCE_SCHEDULERS[name]:
+                return name
+        return None
+    name = name_or_sched.lower()
+    if name == "dpm":
+        return "dpm++2m"
+    if name not in _INFERENCE_SCHEDULERS:
         raise ValueError(
-            f"unknown inference_scheduler {name!r}; choose from "
-            f"{sorted(_INFERENCE_SCHEDULERS)}") from None
+            f"unknown inference_scheduler {name_or_sched!r}; choose from "
+            f"{sorted(_INFERENCE_SCHEDULERS)}")
+    return name
+
+
+def _make_inference_scheduler(name: str, like=None):
+    """Build the named sampler. With `like` (an existing scheduler), carry
+    over its noise-schedule/prediction config so switching samplers on a
+    non-default model (different betas or v_prediction) keeps the schedule
+    the model was trained for instead of resetting to SD2 defaults."""
+    cls = _INFERENCE_SCHEDULERS[canonical_scheduler_name(name)]
+    kwargs = {}
+    if like is not None:
+        for field in ("num_train_timesteps", "beta_start", "beta_end",
+                      "beta_schedule", "prediction_type", "steps_offset"):
+            value = getattr(like, field, None)
+            if value is not None:
+                kwargs[field] = value
+    return cls(**kwargs)
 
 
 def stable_diffusion_2(
@@ -101,7 +127,8 @@ def stable_diffusion_2(
     text_encoder = CLIPTextModel(SD2_TEXT_CONFIG, dtype=dtype)
     tokenizer = _load_tokenizer(model_name)
     noise_scheduler = DDPMScheduler()          # SD2: 0.00085->0.012 scaled_linear
-    inference_scheduler = _make_inference_scheduler(inference_scheduler)
+    inference_scheduler = _make_inference_scheduler(inference_scheduler,
+                                                    like=noise_scheduler)
 
     if pretrained and not (model_name and os.path.isdir(model_name)):
         raise FileNotFoundError(
@@ -158,7 +185,8 @@ def stable_diffusion_tiny(val_guidance_scales: Optional[List[float]] = None,
     return StableDiffusion(
         unet=unet, vae=vae, text_encoder=text_encoder,
         tokenizer=tiny_tokenizer(), noise_scheduler=DDPMScheduler(),
-        inference_scheduler=_make_inference_scheduler(inference_scheduler),
+        inference_scheduler=_make_inference_scheduler(
+            inference_scheduler, like=DDPMScheduler()),
         precomputed_latents=precomputed_latents,
         pretrained_path=model_name if pretrained else None,
         val_metric_names=tuple(val_metrics or ("MeanSquaredError",)),

@@ -275,9 +275,15 @@ class StableDiffusion:
                 [jnp.repeat(uncond, num_images_per_prompt, axis=0),
                  jnp.repeat(cond, num_images_per_prompt, axis=0)], axis=0)
             bsz = bsz * num_images_per_prompt
+        sched = self.inference_scheduler
+        # sigma-space samplers (Euler) scale x_T by the *inference grid's*
+        # top sigma, not the full-grid one (schedulers/dpm.py init_sigma)
+        init_scale = (sched.init_sigma(num_inference_steps)
+                      if hasattr(sched, "init_sigma")
+                      else sched.init_noise_sigma)
         latents = jax.random.normal(
             rng, (bsz, height // 8, width // 8, self.vae.config.latent_channels),
-            jnp.float32) * self.inference_scheduler.init_noise_sigma
+            jnp.float32) * init_scale
         latents = self.denoise_loop(params, latents, embeddings,
                                     guidance_scale, num_inference_steps)
         images = self.vae.apply(frozen["vae"], latents / self.latent_scale,

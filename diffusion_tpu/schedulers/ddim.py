@@ -21,7 +21,8 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from diffusion_tpu.schedulers.ddpm import make_beta_schedule
+from diffusion_tpu.schedulers.ddpm import (make_beta_schedule,
+                                           uniform_timestep_grid)
 
 __all__ = ["DDIMScheduler"]
 
@@ -57,21 +58,12 @@ class DDIMScheduler:
         return sample
 
     def timesteps(self, num_inference_steps: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Return (t, t_prev) int32 arrays of length num_inference_steps, descending.
-
-        t_prev[i] is the timestep the step function moves *to*; negative means
-        "final" (alpha_prod = final_alpha_cumprod).
-        """
-        step_ratio = self.num_train_timesteps // num_inference_steps
-        ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1]
-        ts = ts.astype(np.int64) + self.steps_offset
-        # steps_offset can push the top step to num_train_timesteps (e.g.
-        # num_inference_steps == num_train_timesteps), which would index
-        # alphas_cumprod out of range — jnp clamps silently, so clip here
-        # (diffusers clips the same way).
-        ts = np.minimum(ts, self.num_train_timesteps - 1)
-        t_prev = ts - step_ratio
-        return ts.astype(np.int32), t_prev.astype(np.int32)
+        """Return (t, t_prev) int32 arrays of length num_inference_steps,
+        descending (shared grid: ddpm.uniform_timestep_grid). t_prev[i] is the
+        timestep the step function moves *to*; negative means "final"
+        (alpha_prod = final_alpha_cumprod)."""
+        return uniform_timestep_grid(self.num_train_timesteps,
+                                     num_inference_steps, self.steps_offset)
 
     def step(self, model_output: jnp.ndarray, t: jnp.ndarray, t_prev: jnp.ndarray,
              sample: jnp.ndarray) -> jnp.ndarray:

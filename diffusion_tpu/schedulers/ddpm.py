@@ -19,7 +19,8 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["DDPMScheduler", "make_beta_schedule"]
+__all__ = ["DDPMScheduler", "make_beta_schedule", "alphas_cumprod_np",
+           "uniform_timestep_grid"]
 
 
 def make_beta_schedule(schedule: str, num_timesteps: int, beta_start: float,
@@ -37,6 +38,31 @@ def make_beta_schedule(schedule: str, num_timesteps: int, beta_start: float,
         betas = 1.0 - abar((t + 1) / num_timesteps) / abar(t / num_timesteps)
         return np.clip(betas, 0.0, 0.999)
     raise ValueError(f"unknown beta schedule {schedule!r}")
+
+
+def alphas_cumprod_np(schedule: str, num_timesteps: int, beta_start: float,
+                      beta_end: float) -> np.ndarray:
+    """Cumulative product of (1 - beta) as float64 numpy — the one alpha-bar
+    table every sampler in this package derives its coefficients from."""
+    return np.cumprod(1.0 - make_beta_schedule(schedule, num_timesteps,
+                                               beta_start, beta_end))
+
+
+def uniform_timestep_grid(num_train_timesteps: int, num_inference_steps: int,
+                          steps_offset: int) -> "tuple[np.ndarray, np.ndarray]":
+    """Descending (t, t_prev) int32 arrays shared by DDIM/DPM++/Euler.
+
+    t_prev[i] is the timestep the step function moves *to*; negative means
+    "final". steps_offset can push the top step to num_train_timesteps (e.g.
+    num_inference_steps == num_train_timesteps), which would index alpha
+    tables out of range — jnp clamps silently, so clip here (diffusers clips
+    the same way)."""
+    step_ratio = num_train_timesteps // num_inference_steps
+    ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1]
+    ts = ts.astype(np.int64) + steps_offset
+    ts = np.minimum(ts, num_train_timesteps - 1)
+    t_prev = ts - step_ratio
+    return ts.astype(np.int32), t_prev.astype(np.int32)
 
 
 def _expand(t: jnp.ndarray, ndim: int) -> jnp.ndarray:

@@ -12,16 +12,22 @@ EulerDiscrete is the sigma-space first-order baseline (Karras et al. 2022,
 arXiv:2206.00364 algorithm 1) popular for SD inference.
 
 Both follow this repo's scheduler protocol (schedulers/ddim.py): `timesteps`
-returns the whole descending (t, t_prev) sequence up front and the step
-functions are pure, so the sampling loop compiles once under `jax.lax.scan`.
-DPM-Solver++ is *multistep* — it reuses the previous step's denoised
-prediction — so it carries explicit state through the scan
-(`init_state` / `step_with_state`); models detect that via `init_state`
-(models/stable_diffusion.py denoise_loop).
+returns the whole descending (t, t_prev) sequence up front — the shared
+ddpm.uniform_timestep_grid, identical to DDIM's — and the step functions are
+pure, so the sampling loop compiles once under `jax.lax.scan`. DPM-Solver++
+is *multistep* — it reuses the previous step's denoised prediction — so it
+carries explicit state through the scan (`init_state` / `step_with_state`);
+models detect that via `init_state` (models/stable_diffusion.py
+denoise_loop).
 
 Exactness anchors (pinned in tests/test_schedulers.py):
-- a first-order DPM-Solver++ step is algebraically identical to a DDIM
-  (eta=0) step — both move along x_prev = alpha_prev*x0 + sigma_prev*eps;
+- an *interior* first-order DPM-Solver++ step is algebraically identical to
+  a DDIM (eta=0) step — both move along x_prev = alpha_prev*x0 +
+  sigma_prev*eps. The terminal step differs by convention: DPM++ integrates
+  all the way to sigma=0 and lands exactly on the denoised prediction
+  (diffusers DPMSolverMultistep appends sigma 0), while this repo's DDIM
+  (set_alpha_to_one=False, SD2 config) stops at final_alpha_cumprod=abar[0]
+  and retains sqrt(1-abar[0]) ~ 2.9% of eps;
 - one Euler step with an exact epsilon oracle recovers x0 exactly.
 """
 
@@ -33,7 +39,8 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from diffusion_tpu.schedulers.ddpm import make_beta_schedule
+from diffusion_tpu.schedulers.ddpm import (alphas_cumprod_np,
+                                           uniform_timestep_grid)
 
 __all__ = ["DPMSolverMultistepScheduler", "EulerDiscreteScheduler"]
 
@@ -53,9 +60,11 @@ def _x0_from_output(model_output, sample, alpha_t, sigma_t, prediction_type):
 class DPMSolverMultistepScheduler:
     """DPM-Solver++(2M): 2nd-order multistep in log-SNR (lambda) space.
 
-    Data-prediction (++) variant, midpoint update, `lower_order_final`
-    first-order fallback on the terminal step (the standard stable recipe
-    for <15-step sampling). State carried through the scan: the previous
+    Data-prediction (++) variant, midpoint update. `lower_order_final`
+    drops the terminal step to first order ONLY for short (<15-step) runs —
+    the standard stability recipe, gated exactly like diffusers
+    (`lower_order_final and len(timesteps) < 15`); at 15+ steps the terminal
+    step stays second-order. State carried through the scan: the previous
     denoised prediction and its lambda.
     """
 
@@ -69,9 +78,10 @@ class DPMSolverMultistepScheduler:
 
     @property
     def alphas_cumprod(self) -> jnp.ndarray:
-        betas = make_beta_schedule(self.beta_schedule, self.num_train_timesteps,
-                                   self.beta_start, self.beta_end)
-        return jnp.asarray(np.cumprod(1.0 - betas), dtype=jnp.float32)
+        return jnp.asarray(
+            alphas_cumprod_np(self.beta_schedule, self.num_train_timesteps,
+                              self.beta_start, self.beta_end),
+            dtype=jnp.float32)
 
     @property
     def init_noise_sigma(self) -> float:
@@ -82,12 +92,8 @@ class DPMSolverMultistepScheduler:
 
     def timesteps(self, num_inference_steps: int) -> Tuple[np.ndarray, np.ndarray]:
         """Same descending (t, t_prev) grid as DDIMScheduler.timesteps."""
-        step_ratio = self.num_train_timesteps // num_inference_steps
-        ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1]
-        ts = ts.astype(np.int64) + self.steps_offset
-        ts = np.minimum(ts, self.num_train_timesteps - 1)
-        t_prev = ts - step_ratio
-        return ts.astype(np.int32), t_prev.astype(np.int32)
+        return uniform_timestep_grid(self.num_train_timesteps,
+                                     num_inference_steps, self.steps_offset)
 
     # ---- multistep state -------------------------------------------------
     def init_state(self, latents: jnp.ndarray):
@@ -98,8 +104,10 @@ class DPMSolverMultistepScheduler:
     def _coeffs(self, t, t_prev):
         abar = self.alphas_cumprod
         a2_t = abar[t]
-        # t_prev < 0 means "final": sigma -> 0 (abar -> 1). A tiny floor keeps
-        # lambda finite; the update then returns x0 to float32 precision.
+        # t_prev < 0 means "final": sigma -> 0 (abar -> 1), i.e. the solver
+        # integrates the ODE all the way to the data end and returns the
+        # denoised prediction (diffusers DPM++ appends sigma 0 the same
+        # way). A tiny sigma floor keeps lambda finite.
         a2_p = jnp.where(t_prev >= 0, abar[jnp.maximum(t_prev, 0)], 1.0)
         alpha_t, sigma_t = jnp.sqrt(a2_t), jnp.sqrt(1.0 - a2_t)
         alpha_p = jnp.sqrt(a2_p)
@@ -134,17 +142,19 @@ class DPMSolverMultistepScheduler:
         second = first + 0.5 * alpha_p * one_m_exp * d1
 
         is_first = step_index == 0
-        is_last = step_index == num_steps - 1
-        use_second = jnp.logical_not(
-            jnp.logical_or(is_first,
-                           jnp.logical_and(is_last,
-                                           bool(self.lower_order_final))))
+        # diffusers gate: first-order terminal step only for short runs
+        lof = bool(self.lower_order_final) and num_steps < 15
+        is_final_lof = jnp.logical_and(step_index == num_steps - 1, lof)
+        use_second = jnp.logical_not(jnp.logical_or(is_first, is_final_lof))
         prev = jnp.where(use_second, second, first)
         return prev.astype(sample.dtype), (x0, lam_t)
 
     def step(self, model_output: jnp.ndarray, t, t_prev,
              sample: jnp.ndarray) -> jnp.ndarray:
-        """Stateless = first-order (DPM-Solver++(1)); equals DDIM eta=0."""
+        """Stateless = first-order (DPM-Solver++(1)). On interior steps this
+        equals DDIM eta=0 exactly; on the terminal step (t_prev < 0) it goes
+        fully to sigma=0 where DDIM(set_alpha_to_one=False) retains
+        final_alpha_cumprod — see the module docstring."""
         out, _ = self.step_with_state(model_output, t, t_prev, sample,
                                       self.init_state(sample), 0, 1)
         return out
@@ -168,27 +178,32 @@ class EulerDiscreteScheduler:
 
     @property
     def alphas_cumprod(self) -> jnp.ndarray:
-        betas = make_beta_schedule(self.beta_schedule, self.num_train_timesteps,
-                                   self.beta_start, self.beta_end)
-        return jnp.asarray(np.cumprod(1.0 - betas), dtype=jnp.float32)
+        return jnp.asarray(
+            alphas_cumprod_np(self.beta_schedule, self.num_train_timesteps,
+                              self.beta_start, self.beta_end),
+            dtype=jnp.float32)
 
     def _sigma(self, t) -> jnp.ndarray:
         a2 = self.alphas_cumprod[jnp.maximum(t, 0)]
         sig = jnp.sqrt((1.0 - a2) / a2)
         return jnp.where(t >= 0, sig, 0.0)
 
-    @property
-    def init_noise_sigma(self) -> float:
-        # pure numpy: this property is read at trace time (generate scales
-        # the initial latents by it), so it must stay a Python float —
-        # jnp ops here would stage to a tracer under jit (omnistaging)
-        betas = make_beta_schedule(self.beta_schedule,
-                                   self.num_train_timesteps,
-                                   self.beta_start, self.beta_end)
-        abar = np.cumprod(1.0 - betas)
-        ts, _ = self.timesteps(self.num_train_timesteps)
+    def init_sigma(self, num_inference_steps: int) -> float:
+        """Scale for the initial noise: sigma at the *inference grid's* top
+        step (diffusers EulerDiscrete's init_noise_sigma). Using the full
+        grid's sigma(999) instead would over-scale x_T relative to what the
+        first scale_model_input/step assume — 1.33x at 20 steps. Pure numpy:
+        read at trace time, so it must stay a Python float."""
+        abar = alphas_cumprod_np(self.beta_schedule, self.num_train_timesteps,
+                                 self.beta_start, self.beta_end)
+        ts, _ = self.timesteps(num_inference_steps)
         a2 = abar[int(ts[0])]
         return float(np.sqrt((1.0 - a2) / a2))
+
+    @property
+    def init_noise_sigma(self) -> float:
+        """Full-grid value; generate() prefers init_sigma(num_steps)."""
+        return self.init_sigma(self.num_train_timesteps)
 
     def scale_model_input(self, sample: jnp.ndarray, t) -> jnp.ndarray:
         sigma = self._sigma(t)
@@ -196,12 +211,8 @@ class EulerDiscreteScheduler:
                 / jnp.sqrt(sigma ** 2 + 1.0)).astype(sample.dtype)
 
     def timesteps(self, num_inference_steps: int) -> Tuple[np.ndarray, np.ndarray]:
-        step_ratio = self.num_train_timesteps // num_inference_steps
-        ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1]
-        ts = ts.astype(np.int64) + self.steps_offset
-        ts = np.minimum(ts, self.num_train_timesteps - 1)
-        t_prev = ts - step_ratio
-        return ts.astype(np.int32), t_prev.astype(np.int32)
+        return uniform_timestep_grid(self.num_train_timesteps,
+                                     num_inference_steps, self.steps_offset)
 
     def step(self, model_output: jnp.ndarray, t, t_prev,
              sample: jnp.ndarray) -> jnp.ndarray:

@@ -88,6 +88,21 @@ def test_batch_key_groups_by_config(endpoint):
     k4 = endpoint.batch_key({"prompt": "a", "num_inference_steps": 2,
                              "scheduler": "dpm++2m"})
     assert k1 != k4          # different sampler = different device program
+    # normalization: explicit request for the model's own sampler, case
+    # variants, and the 'dpm' alias all fold to ONE bucket/compile
+    k5 = endpoint.batch_key({"prompt": "a", "num_inference_steps": 2,
+                             "scheduler": "ddim"})
+    assert k5 == k1          # model's default sampler folds to None
+    k6 = endpoint.batch_key({"prompt": "a", "num_inference_steps": 2,
+                             "scheduler": "DPM"})
+    assert k6 == k4          # alias + case fold to the canonical name
+    # mixed None/str scheduler slots must raise the intended error, not a
+    # TypeError from sorted()
+    with pytest.raises(ValueError, match="unmergeable"):
+        endpoint.predict_many([
+            {"prompt": "a", "num_inference_steps": 2},
+            {"prompt": "b", "num_inference_steps": 2,
+             "scheduler": "euler"}])
 
 
 def test_predict_per_request_scheduler(endpoint):

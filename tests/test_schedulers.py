@@ -326,8 +326,58 @@ def test_euler_scale_model_input_is_vp_xt():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-def test_euler_init_noise_sigma_matches_top_step():
+def test_euler_init_sigma_uses_inference_grid():
+    """x_T must be scaled by sigma at the INFERENCE grid's first timestep
+    (what the first scale_model_input/step assume), not the full grid's
+    sigma(999) — at 20 steps those differ by 1.33x."""
     sched = EulerDiscreteScheduler()
     abar = np.asarray(sched.alphas_cumprod)
-    want = float(np.sqrt((1 - abar[999]) / abar[999]))
-    np.testing.assert_allclose(sched.init_noise_sigma, want, rtol=1e-5)
+
+    def sig(t):
+        return float(np.sqrt((1 - abar[t]) / abar[t]))
+
+    ts20, _ = sched.timesteps(20)
+    np.testing.assert_allclose(sched.init_sigma(20), sig(int(ts20[0])),
+                               rtol=1e-5)
+    assert int(ts20[0]) == 951
+    # the plain property is the full-grid value (steps == train steps)
+    np.testing.assert_allclose(sched.init_noise_sigma, sig(999), rtol=1e-5)
+    assert sched.init_sigma(20) < sched.init_noise_sigma
+
+
+def test_dpm_terminal_step_returns_denoised():
+    """Terminal convention: DPM++ integrates to sigma=0 (diffusers appends
+    sigma 0), so the final first-order step with an epsilon input lands on
+    the denoised prediction exactly — unlike DDIM(set_alpha_to_one=False),
+    which retains sqrt(1-abar[0]) of eps."""
+    sched = DPMSolverMultistepScheduler()
+    abar = np.asarray(sched.alphas_cumprod)
+    rng = np.random.default_rng(14)
+    x0 = rng.normal(size=(1, 4, 2, 2)).astype(np.float32)
+    eps = rng.normal(size=x0.shape).astype(np.float32)
+    t = 1
+    x = np.sqrt(abar[t]) * x0 + np.sqrt(1 - abar[t]) * eps
+    got = sched.step(jnp.asarray(eps), jnp.asarray(t), jnp.asarray(-19),
+                     jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), x0, rtol=1e-3, atol=1e-4)
+
+
+def test_dpm_lower_order_final_gated_on_short_runs():
+    """diffusers gate: the terminal step drops to first order only when
+    num_steps < 15; at 15+ the second-order correction stays on."""
+    sched = DPMSolverMultistepScheduler()
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(rng.normal(size=(1, 4, 2, 2)).astype(np.float32))
+    out = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    prev_x0 = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    state = (prev_x0, jnp.asarray(-1.0, jnp.float32))
+    t, tp = jnp.asarray(41), jnp.asarray(21)
+    # same (t, tp, state): only the (step_index, num_steps) gate differs
+    short, _ = sched.step_with_state(out, t, tp, x, state, 9, 10)
+    long_, _ = sched.step_with_state(out, t, tp, x, state, 19, 20)
+    first_order, _ = sched.step_with_state(out, t, tp, x,
+                                           sched.init_state(x), 0, 20)
+    # short-run terminal == first order; long-run terminal keeps 2nd order
+    np.testing.assert_allclose(np.asarray(short), np.asarray(first_order),
+                               rtol=1e-5, atol=1e-6)
+    assert np.abs(np.asarray(long_) - np.asarray(short)).max() > 1e-4
