@@ -66,15 +66,17 @@ class StableDiffusionInference:
                                                     image_size=default_size)
         if checkpoint_path:
             from diffusion_tpu.train.checkpoint import load_checkpoint
+            dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
             abstract = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=dev),
+                params)
             try:
-                from diffusion_tpu.train.state import TrainState
-                abs_state = jax.eval_shape(lambda: TrainState(
-                    step=jnp.zeros((), jnp.int32), params=params,
-                    opt_state=None, ema_params=None))
-                restored, _ = load_checkpoint(checkpoint_path, abs_state)
-                params = restored.params
+                # partial restore of the params subtree — works whatever
+                # opt/EMA state the trainer checkpoint carries (same path
+                # as Trainer load_weights_only, train/trainer.py)
+                restored, _ = load_checkpoint(
+                    checkpoint_path, {"params": abstract}, partial=True)
+                params = restored["params"]
             except Exception as train_state_err:
                 # weights-only checkpoints store the bare param pytree; if
                 # that ALSO fails, surface both errors instead of silently
@@ -95,8 +97,9 @@ class StableDiffusionInference:
         self._gen_cache: Dict[tuple, Any] = {}
 
     def _gen_fn(self, steps: int, height: int, width: int, scale: float,
-                n_per: int = 1, scheduler: Optional[str] = None):
-        key = (steps, height, width, scale, n_per, scheduler)
+                n_per: int = 1, scheduler: Optional[str] = None,
+                strength: Optional[float] = None):
+        key = (steps, height, width, scale, n_per, scheduler, strength)
         if key not in self._gen_cache:
             model = self.model
             if scheduler:
@@ -115,16 +118,20 @@ class StableDiffusionInference:
                     model,
                     inference_scheduler=_make_inference_scheduler(
                         scheduler, like=model.inference_scheduler))
+            kwargs = {}
+            if strength is not None:   # img2img program (static strength)
+                kwargs["strength"] = strength
             self._gen_cache[key] = jax.jit(functools.partial(
                 model.generate, height=height, width=width,
                 guidance_scale=scale, num_inference_steps=steps,
-                num_images_per_prompt=n_per))
+                num_images_per_prompt=n_per, **kwargs))
         return self._gen_cache[key]
 
     def _parse(self, inputs: Dict[str, Any], default_size: int,
                default_seed: int):
-        """-> (prompts, negatives_or_None, config_key). The key is what must
-        match for two requests to share one device program invocation."""
+        """-> (prompts, negatives_or_None, init_images_or_None, config_key).
+        The key is what must match for two requests to share one device
+        program invocation."""
         prompt = inputs.get("prompt")
         if not prompt:
             raise ValueError("prompt required")
@@ -134,6 +141,22 @@ class StableDiffusionInference:
                      else (list(negative) if negative else None))  # [] = none
         if negatives is not None and len(negatives) != len(prompts):
             raise ValueError("negative_prompt count != prompt count")
+        image = inputs.get("image")
+        init_images = None
+        strength = None
+        if image:
+            # img2img: base64 PNG/JPEG, one per prompt (a single image is
+            # broadcast across the request's prompts)
+            b64s = [image] * len(prompts) if isinstance(image, str) \
+                else list(image)
+            if len(b64s) != len(prompts):
+                raise ValueError("image count != prompt count")
+            init_images = b64s
+            strength = float(inputs.get("strength", 0.8))
+            if not 0.0 < strength <= 1.0:
+                raise ValueError(f"strength must be in (0, 1], got {strength}")
+        elif "strength" in inputs:
+            raise ValueError("strength requires an image (img2img)")
         key = (int(inputs.get("num_inference_steps", 50)),
                int(inputs.get("height", default_size)),
                int(inputs.get("width", default_size)),
@@ -141,8 +164,9 @@ class StableDiffusionInference:
                int(inputs.get("seed", default_seed)),
                int(inputs.get("num_images_per_prompt", 1)),
                negatives is not None,
-               self._normalize_scheduler(inputs.get("scheduler")))
-        return prompts, negatives, key
+               self._normalize_scheduler(inputs.get("scheduler")),
+               strength)  # None = text-to-image program
+        return prompts, negatives, init_images, key
 
     def _normalize_scheduler(self, requested) -> Optional[str]:
         """Canonical per-request sampler name, or None for 'the model's
@@ -164,7 +188,17 @@ class StableDiffusionInference:
         """Requests with equal keys are mergeable into one generate call
         (same sampling program AND same RNG seed — merging across seeds
         would silently change which noise stream each sample draws)."""
-        return self._parse(inputs, self.default_size, self.seed)[2]
+        return self._parse(inputs, self.default_size, self.seed)[3]
+
+    @staticmethod
+    def _decode_image(b64: str, height: int, width: int) -> np.ndarray:
+        """base64 PNG/JPEG -> float32 (H, W, 3) in [0, 1], resized to the
+        request geometry (clients need not pre-resize)."""
+        from PIL import Image
+        img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+        if img.size != (width, height):
+            img = img.resize((width, height), Image.BICUBIC)
+        return np.asarray(img, np.float32) / 255.0
 
     def predict_many(self, requests: List[Dict[str, Any]]) -> List[List[str]]:
         """One device dispatch for several /predict requests (server-side
@@ -181,14 +215,15 @@ class StableDiffusionInference:
             return []
         parsed = [self._parse(r, self.default_size, self.seed)
                   for r in requests]
-        keys = {p[2] for p in parsed}
+        keys = {p[3] for p in parsed}
         if len(keys) > 1:
-            # sort by repr: keys can mix None and str in the scheduler slot
+            # sort by repr: keys can mix None and str in some slots
             raise ValueError(
                 f"unmergeable requests: {sorted(keys, key=repr)}")
-        steps, height, width, scale, seed, n_per, has_neg, sched = parsed[0][2]
-        prompts = [p for pr, _, _ in parsed for p in pr]
-        negatives = ([n for _, ng, _ in parsed for n in ng]
+        (steps, height, width, scale, seed, n_per, has_neg, sched,
+         strength) = parsed[0][3]
+        prompts = [p for pr, _, _, _ in parsed for p in pr]
+        negatives = ([n for _, ng, _, _ in parsed for n in ng]
                      if has_neg else None)
         n = len(prompts)
         padded = max(1, 1 << (n - 1).bit_length()) if self.pad_to_bucket else n
@@ -198,22 +233,32 @@ class StableDiffusionInference:
         negative_ids = (jnp.asarray(
             tok(negatives + [negatives[-1]] * (padded - n))["input_ids"])
             if has_neg else None)
-        images = self._gen_fn(steps, height, width, scale, n_per, sched)(
+        gen_kwargs: Dict[str, Any] = {}
+        if strength is not None:       # img2img batch
+            b64s = [b for _, _, im, _ in parsed for b in im]
+            arrs = [self._decode_image(b, height, width) for b in b64s]
+            arrs += [arrs[-1]] * (padded - n)
+            gen_kwargs["image"] = jnp.asarray(np.stack(arrs))
+        images = self._gen_fn(steps, height, width, scale, n_per, sched,
+                              strength)(
             self.params, self.frozen, prompt_ids, negative_ids=negative_ids,
-            seed=seed)
+            seed=seed, **gen_kwargs)
         # jnp.repeat keeps prompt-major order: prompt i's copies occupy
         # rows [i*n_per, (i+1)*n_per); padded prompts trail and are dropped
         encoded = [image_to_base64_png(img)
                    for img in np.asarray(images[:n * n_per])]
         out, i = [], 0
-        for pr, _, _ in parsed:
+        for pr, _, _, _ in parsed:
             out.append(encoded[i:i + len(pr) * n_per])
             i += len(pr) * n_per
         return out
 
     def predict(self, **inputs: Any) -> List[str]:
         """Inputs (reference :49-58): prompt (str|list), negative_prompt,
-        height, width, num_inference_steps, guidance_scale, seed; plus
-        `scheduler` (ddim | dpm++2m | euler) to pick the sampler per
-        request — beyond the reference's fixed-DDIM handler."""
+        height, width, num_inference_steps, guidance_scale, seed; plus,
+        beyond the reference's fixed-DDIM text-only handler:
+        `scheduler` (ddim | dpm++2m | euler) picks the sampler per request,
+        and `image` (base64 PNG/JPEG, str or list) + `strength` (0, 1]
+        switch to img2img (SDEdit) — the image is encoded, noised
+        `strength` of the way to pure noise, and denoised from there."""
         return self.predict_many([inputs])[0]

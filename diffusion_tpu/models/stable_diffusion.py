@@ -184,16 +184,22 @@ class StableDiffusion:
 
     def denoise_loop(self, params: Dict, latents: jnp.ndarray,
                      text_embeddings: jnp.ndarray, guidance_scale: float,
-                     num_inference_steps: int) -> jnp.ndarray:
+                     num_inference_steps: int, t_start: int = 0) -> jnp.ndarray:
         """CFG denoise loop under lax.scan (ref :359-375, one compile).
 
         Works with any scheduler following the repo protocol. Multistep
         solvers (schedulers/dpm.py DPM-Solver++(2M)) expose `init_state`;
         their per-step state is carried through the scan alongside the
-        latents so the whole loop still compiles to one XLA while-loop."""
+        latents so the whole loop still compiles to one XLA while-loop.
+        `t_start` (static) skips the first grid entries — the img2img/SDEdit
+        path enters mid-trajectory with latents already noised to
+        `timesteps(n)[0][t_start]`."""
         sched = self.inference_scheduler
         ts, tps = sched.timesteps(num_inference_steps)
+        ts, tps = ts[t_start:], tps[t_start:]
         n = len(ts)
+        if n == 0:
+            return latents
 
         def cfg_pred(lat, t):
             model_in = jnp.concatenate([lat, lat], axis=0)
@@ -234,14 +240,23 @@ class StableDiffusion:
                  guidance_scale: float = 3.0, num_inference_steps: int = 50,
                  num_images_per_prompt: int = 1,
                  seed: Optional[int] = None,
-                 rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                 rng: Optional[jax.Array] = None,
+                 image: Optional[jnp.ndarray] = None,
+                 strength: float = 0.8) -> jnp.ndarray:
         """Text -> images in [0, 1], (B, H, W, 3). Same seed => same images
         (reference seeds a torch Generator, ref :322-326; here a jax key).
 
         Pre-computed `prompt_embeds`/`negative_prompt_embeds` (B, 77, D)
         bypass the text encoder (reference generate's prompt_embeds surface,
         ref :266-267); `num_images_per_prompt` repeats each conditioning
-        (ref :272)."""
+        (ref :272).
+
+        img2img (SDEdit; beyond the reference's text-only generate): pass
+        `image` (B, H, W, 3) in [0, 1] and a static `strength` in (0, 1] —
+        the image is VAE-encoded, noised to the grid point `strength` of the
+        way back toward pure noise (diffusers Img2Img semantics:
+        init_timestep = int(steps * strength)), and only the remaining tail
+        of the denoise loop runs, so cost scales with strength too."""
         if rng is None:
             rng = jax.random.key(self.val_seed if seed is None else seed)
         if prompt_embeds is not None:
@@ -276,16 +291,39 @@ class StableDiffusion:
                  jnp.repeat(cond, num_images_per_prompt, axis=0)], axis=0)
             bsz = bsz * num_images_per_prompt
         sched = self.inference_scheduler
-        # sigma-space samplers (Euler) scale x_T by the *inference grid's*
-        # top sigma, not the full-grid one (schedulers/dpm.py init_sigma)
-        init_scale = (sched.init_sigma(num_inference_steps)
-                      if hasattr(sched, "init_sigma")
-                      else sched.init_noise_sigma)
-        latents = jax.random.normal(
-            rng, (bsz, height // 8, width // 8, self.vae.config.latent_channels),
-            jnp.float32) * init_scale
+        lat_shape = (bsz, height // 8, width // 8,
+                     self.vae.config.latent_channels)
+        if image is not None:
+            if not hasattr(sched, "noise_to"):
+                raise ValueError(
+                    f"img2img needs a scheduler with noise_to; "
+                    f"{type(sched).__name__} has none")
+            if not 0.0 < strength <= 1.0:
+                raise ValueError(f"strength must be in (0, 1], got {strength}")
+            rng, enc_rng = jax.random.split(rng)
+            img = jnp.asarray(image, jnp.float32) * 2.0 - 1.0
+            lat0 = self.encode_images(frozen, img, enc_rng)
+            if num_images_per_prompt > 1:
+                lat0 = jnp.repeat(lat0, num_images_per_prompt, axis=0)
+            # diffusers Img2Img: keep the last init_timestep grid entries
+            init_timestep = min(int(num_inference_steps * strength),
+                                num_inference_steps)
+            t_start = num_inference_steps - init_timestep
+            ts, _ = sched.timesteps(num_inference_steps)
+            noise = jax.random.normal(rng, lat_shape, jnp.float32)
+            latents = sched.noise_to(lat0, noise, jnp.asarray(ts[t_start]))
+        else:
+            t_start = 0
+            # sigma-space samplers (Euler) scale x_T by the *inference
+            # grid's* top sigma, not the full-grid one (dpm.py init_sigma)
+            init_scale = (sched.init_sigma(num_inference_steps)
+                          if hasattr(sched, "init_sigma")
+                          else sched.init_noise_sigma)
+            latents = jax.random.normal(rng, lat_shape,
+                                        jnp.float32) * init_scale
         latents = self.denoise_loop(params, latents, embeddings,
-                                    guidance_scale, num_inference_steps)
+                                    guidance_scale, num_inference_steps,
+                                    t_start=t_start)
         images = self.vae.apply(frozen["vae"], latents / self.latent_scale,
                                 method=self.vae.decode)
         return jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)

@@ -57,6 +57,14 @@ class DDIMScheduler:
     def scale_model_input(self, sample: jnp.ndarray, t) -> jnp.ndarray:
         return sample
 
+    def noise_to(self, x0: jnp.ndarray, noise: jnp.ndarray, t) -> jnp.ndarray:
+        """Noise clean latents to timestep t in this sampler's working space
+        (VP: sqrt(abar) x0 + sqrt(1-abar) eps) — the img2img/SDEdit entry
+        point for starting the denoise loop mid-trajectory."""
+        a2 = self.alphas_cumprod[t]
+        return (jnp.sqrt(a2) * x0.astype(jnp.float32)
+                + jnp.sqrt(1.0 - a2) * noise.astype(jnp.float32))
+
     def timesteps(self, num_inference_steps: int) -> Tuple[np.ndarray, np.ndarray]:
         """Return (t, t_prev) int32 arrays of length num_inference_steps,
         descending (shared grid: ddpm.uniform_timestep_grid). t_prev[i] is the

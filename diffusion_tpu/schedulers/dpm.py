@@ -90,6 +90,12 @@ class DPMSolverMultistepScheduler:
     def scale_model_input(self, sample: jnp.ndarray, t) -> jnp.ndarray:
         return sample
 
+    def noise_to(self, x0: jnp.ndarray, noise: jnp.ndarray, t) -> jnp.ndarray:
+        """Noise clean latents to timestep t (VP space) — img2img entry."""
+        a2 = self.alphas_cumprod[t]
+        return (jnp.sqrt(a2) * x0.astype(jnp.float32)
+                + jnp.sqrt(1.0 - a2) * noise.astype(jnp.float32))
+
     def timesteps(self, num_inference_steps: int) -> Tuple[np.ndarray, np.ndarray]:
         """Same descending (t, t_prev) grid as DDIMScheduler.timesteps."""
         return uniform_timestep_grid(self.num_train_timesteps,
@@ -209,6 +215,12 @@ class EulerDiscreteScheduler:
         sigma = self._sigma(t)
         return (sample.astype(jnp.float32)
                 / jnp.sqrt(sigma ** 2 + 1.0)).astype(sample.dtype)
+
+    def noise_to(self, x0: jnp.ndarray, noise: jnp.ndarray, t) -> jnp.ndarray:
+        """Noise clean latents to timestep t in THIS sampler's working
+        space — sigma space (x0 + sigma*eps), not VP — img2img entry."""
+        return (x0.astype(jnp.float32)
+                + self._sigma(t) * noise.astype(jnp.float32))
 
     def timesteps(self, num_inference_steps: int) -> Tuple[np.ndarray, np.ndarray]:
         return uniform_timestep_grid(self.num_train_timesteps,

@@ -123,6 +123,38 @@ def test_predict_per_request_scheduler(endpoint):
         endpoint.predict(scheduler="nope", **kw)
 
 
+def test_predict_img2img(endpoint):
+    """img2img serving: base64 image + strength runs the SDEdit path —
+    output PNGs valid, strength keys the batch (different compiled
+    programs), bad strengths are client errors."""
+    rng = np.random.default_rng(7)
+    src = (rng.uniform(0, 1, (32, 32, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(src).save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode("ascii")
+
+    kw = dict(prompt="a cat in the snow", num_inference_steps=4,
+              guidance_scale=3.0, seed=2)
+    out = endpoint.predict(image=b64, strength=0.5, **kw)
+    assert len(out) == 1
+    assert _decode_png(out[0]).shape == (32, 32, 3)
+
+    k_txt = endpoint.batch_key(kw | {"prompt": "x"})
+    k_i50 = endpoint.batch_key(kw | {"prompt": "x", "image": b64,
+                                     "strength": 0.5})
+    k_i25 = endpoint.batch_key(kw | {"prompt": "x", "image": b64,
+                                     "strength": 0.25})
+    assert k_txt != k_i50 and k_i50 != k_i25
+
+    with pytest.raises(ValueError, match="strength"):
+        endpoint.predict(image=b64, strength=1.5, **kw)
+    with pytest.raises(ValueError, match="strength requires an image"):
+        endpoint.predict(strength=0.5, **kw)
+    with pytest.raises(ValueError, match="image count"):
+        endpoint.predict(prompt=["a", "b", "c"], image=[b64, b64],
+                         num_inference_steps=4)
+
+
 def test_batcher_coalesces_concurrent_requests(endpoint):
     """Concurrent submits with one config produce one predict_many call
     (chip dispatch), and every caller gets its own images."""

@@ -83,6 +83,42 @@ def test_model_generate_fast_samplers(sd, scheduler_name):
     assert arr.min() >= 0.0 and arr.max() <= 1.0
 
 
+@pytest.mark.parametrize("scheduler_name", ["ddim", "dpm++2m", "euler"])
+def test_model_generate_img2img(sd, scheduler_name):
+    """img2img (SDEdit): init image is encoded, noised `strength` of the way
+    to pure noise, and only the tail of the loop runs — valid [0,1] output
+    under every sampler, deterministic in seed, and strength-sensitive."""
+    import dataclasses
+
+    from diffusion_tpu.models.models import _make_inference_scheduler
+    model, params, frozen = sd
+    model = dataclasses.replace(
+        model, inference_scheduler=_make_inference_scheduler(scheduler_name))
+    prompt_ids = jnp.asarray(model.tokenizer(["a cute cat"])["input_ids"])
+    init = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (1, 32, 32, 3)).astype(np.float32))
+    kw = dict(height=32, width=32, guidance_scale=3.0,
+              num_inference_steps=4, seed=0, image=init)
+    out = model.generate(params, frozen, prompt_ids, strength=0.5, **kw)
+    assert out.shape == (1, 32, 32, 3)
+    arr = np.asarray(out)
+    assert np.isfinite(arr).all() and arr.min() >= 0.0 and arr.max() <= 1.0
+    again = model.generate(params, frozen, prompt_ids, strength=0.5, **kw)
+    np.testing.assert_array_equal(arr, np.asarray(again))
+    # different strength = different trajectory start
+    weak = model.generate(params, frozen, prompt_ids, strength=0.25, **kw)
+    assert np.abs(np.asarray(weak) - arr).max() > 0
+
+
+def test_model_img2img_rejects_bad_strength(sd):
+    model, params, frozen = sd
+    prompt_ids = jnp.asarray(model.tokenizer(["a"])["input_ids"])
+    init = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    with pytest.raises(ValueError, match="strength"):
+        model.generate(params, frozen, prompt_ids, height=32, width=32,
+                       num_inference_steps=2, image=init, strength=0.0)
+
+
 def test_inference_scheduler_builder_knob():
     """yaml surface: model.inference_scheduler selects the sampler; unknown
     names fail fast with the choices listed."""

@@ -345,6 +345,28 @@ def test_euler_init_sigma_uses_inference_grid():
     assert sched.init_sigma(20) < sched.init_noise_sigma
 
 
+def test_noise_to_closed_forms():
+    """img2img entry: noise_to works in each sampler's own space — VP
+    (sqrt(abar) x0 + sqrt(1-abar) eps) for DDIM/DPM++, sigma space
+    (x0 + sigma eps) for Euler."""
+    rng = np.random.default_rng(16)
+    x0 = rng.normal(size=(1, 4, 2, 2)).astype(np.float32)
+    eps = rng.normal(size=x0.shape).astype(np.float32)
+    t = 501
+    abar = _np_alphas_cumprod()
+    vp_want = np.sqrt(abar[t]) * x0 + np.sqrt(1 - abar[t]) * eps
+    for sched in (DDIMScheduler(), DPMSolverMultistepScheduler()):
+        got = sched.noise_to(jnp.asarray(x0), jnp.asarray(eps),
+                             jnp.asarray(t))
+        np.testing.assert_allclose(np.asarray(got), vp_want, rtol=1e-4,
+                                   atol=1e-5)
+    sigma = float(np.sqrt((1 - abar[t]) / abar[t]))
+    got = EulerDiscreteScheduler().noise_to(jnp.asarray(x0), jnp.asarray(eps),
+                                            jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(got), x0 + sigma * eps, rtol=1e-4,
+                               atol=1e-4)
+
+
 def test_dpm_terminal_step_returns_denoised():
     """Terminal convention: DPM++ integrates to sigma=0 (diffusers appends
     sigma 0), so the final first-order step with an epsilon input lands on
