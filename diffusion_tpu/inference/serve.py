@@ -195,7 +195,14 @@ def main() -> None:
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch-size", type=int, default=8)
     p.add_argument("--batch-wait-ms", type=float, default=20.0)
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache dir — a restarted "
+                        "server replays compiled samplers from disk instead "
+                        "of re-compiling for minutes (also honors "
+                        "$DIFFUSION_TPU_COMPILE_CACHE)")
     args = p.parse_args()
+    from diffusion_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(args.compile_cache)
     endpoint = StableDiffusionInference(checkpoint_path=args.checkpoint,
                                         model_name=args.model_name,
                                         default_size=args.size)

@@ -153,6 +153,14 @@ class Attention(nn.Module):
 
     Replaces xformers memory-efficient attention with the Pallas/XLA dispatch
     in ops/attention.py.
+
+    `lora_rank > 0` adds LoRA branches (Hu et al. 2021) to each projection:
+    y = Wx + (alpha/r)·B(A(x)), A random-init, B zero-init, so a freshly
+    added adapter is exactly the base model. LoRA params live as sibling
+    scopes (`to_q_lora_a`/`to_q_lora_b` next to `to_q`), keeping the base
+    kernel paths identical to the rank-0 tree — ported HF checkpoints and
+    the golden-parity fixtures load unchanged (models/lora.py partitions
+    and folds these trees).
     """
 
     num_heads: int
@@ -160,6 +168,19 @@ class Attention(nn.Module):
     out_dim: Optional[int] = None
     use_bias: bool = False
     dtype: Dtype = jnp.float32
+    lora_rank: int = 0
+    lora_alpha: Optional[float] = None
+
+    def _lora(self, name: str, inp: jnp.ndarray, features: int) -> jnp.ndarray:
+        scale = ((self.lora_alpha if self.lora_alpha is not None
+                  else float(self.lora_rank)) / float(self.lora_rank))
+        a = nn.Dense(self.lora_rank, use_bias=False, dtype=self.dtype,
+                     kernel_init=nn.initializers.normal(0.02),
+                     name=f"{name}_lora_a")(inp)
+        b = nn.Dense(features, use_bias=False, dtype=self.dtype,
+                     kernel_init=nn.initializers.zeros,
+                     name=f"{name}_lora_b")(a)
+        return b * scale
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
@@ -170,6 +191,10 @@ class Attention(nn.Module):
         q = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_k")(ctx)
         v = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_v")(ctx)
+        if self.lora_rank > 0:
+            q = q + self._lora("to_q", x, inner)
+            k = k + self._lora("to_k", ctx, inner)
+            v = v + self._lora("to_v", ctx, inner)
         b, sq = q.shape[:2]
         sk = k.shape[1]
         q = constrain_batch(q.reshape(b, sq, self.num_heads, self.head_dim))
@@ -177,7 +202,11 @@ class Attention(nn.Module):
         v = constrain_batch(v.reshape(b, sk, self.num_heads, self.head_dim))
         o = multi_head_attention(q, k, v, mask=mask)
         o = constrain_batch(o.reshape(b, sq, inner))
-        return nn.Dense(out_dim, use_bias=True, dtype=self.dtype, name="to_out")(o)
+        out = nn.Dense(out_dim, use_bias=True, dtype=self.dtype,
+                       name="to_out")(o)
+        if self.lora_rank > 0:
+            out = out + self._lora("to_out", o, out_dim)
+        return out
 
 
 class FeedForwardGEGLU(nn.Module):
@@ -207,6 +236,8 @@ class BasicTransformerBlock(nn.Module):
     num_heads: int
     head_dim: int
     dtype: Dtype = jnp.float32
+    lora_rank: int = 0
+    lora_alpha: Optional[float] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -214,9 +245,13 @@ class BasicTransformerBlock(nn.Module):
         dim = x.shape[-1]
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
         x = x + Attention(self.num_heads, self.head_dim, dtype=self.dtype,
+                          lora_rank=self.lora_rank,
+                          lora_alpha=self.lora_alpha,
                           name="attn1")(h)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(x.dtype)
         x = x + Attention(self.num_heads, self.head_dim, dtype=self.dtype,
+                          lora_rank=self.lora_rank,
+                          lora_alpha=self.lora_alpha,
                           name="attn2")(h, context=context)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(x.dtype)
         x = x + FeedForwardGEGLU(dim, dtype=self.dtype, name="ff")(h)
@@ -236,6 +271,8 @@ class Transformer2D(nn.Module):
     use_linear_projection: bool = True
     groups: int = 32
     dtype: Dtype = jnp.float32
+    lora_rank: int = 0
+    lora_alpha: Optional[float] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -252,6 +289,8 @@ class Transformer2D(nn.Module):
         for i in range(self.depth):
             hidden = BasicTransformerBlock(self.num_heads, self.head_dim,
                                            dtype=self.dtype,
+                                           lora_rank=self.lora_rank,
+                                           lora_alpha=self.lora_alpha,
                                            name=f"blocks_{i}")(hidden, context)
             hidden = constrain_batch(hidden)
         if self.use_linear_projection:

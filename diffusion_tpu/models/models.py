@@ -112,6 +112,9 @@ def stable_diffusion_2(
     allow_random_tower_weights: bool = False,
     init_frozen_towers: Optional[bool] = None,
     inference_scheduler: str = "ddim",
+    lora_rank: int = 0,
+    lora_alpha: Optional[float] = None,
+    train_lora_only: Optional[bool] = None,
 ) -> StableDiffusion:
     """SD-2.0-base training setup (reference models.py:28-112).
 
@@ -120,9 +123,21 @@ def stable_diffusion_2(
     `fsdp` is recorded on the model for the trainer's sharder (the reference
     sets _fsdp_wrap flags, stable_diffusion.py:148-152; here sharding is a
     pjit partition-spec decision in parallel/sharding.py).
+
+    `lora_rank > 0` adds LoRA adapters to every attention projection and
+    (by default) trains ONLY them — pair with `pretrained: true` for the
+    classic adapter finetune; see models/lora.py. `train_lora_only: false`
+    keeps the whole UNet trainable with the adapters as extra capacity.
     """
     dtype = jnp.bfloat16 if encode_latents_in_fp16 else jnp.float32
-    unet = UNet2DCondition(SD2_BASE_UNET, dtype=dtype, remat=remat)
+    if train_lora_only is None:
+        train_lora_only = lora_rank > 0
+    unet_cfg = SD2_BASE_UNET
+    if lora_rank:
+        import dataclasses as _dc
+        unet_cfg = _dc.replace(unet_cfg, lora_rank=int(lora_rank),
+                               lora_alpha=lora_alpha)
+    unet = UNet2DCondition(unet_cfg, dtype=dtype, remat=remat)
     vae = AutoencoderKL(SD2_VAE, dtype=dtype)
     text_encoder = CLIPTextModel(SD2_TEXT_CONFIG, dtype=dtype)
     tokenizer = _load_tokenizer(model_name)
@@ -150,6 +165,7 @@ def stable_diffusion_2(
         clip_metric_weights=clip_metric_weights,
         allow_random_tower_weights=bool(allow_random_tower_weights),
         init_frozen_towers=init_frozen_towers,
+        train_lora_only=bool(train_lora_only),
     )
 
 
@@ -160,6 +176,9 @@ def stable_diffusion_tiny(val_guidance_scales: Optional[List[float]] = None,
                           val_metrics: Optional[List[Any]] = None,
                           allow_random_tower_weights: bool = False,
                           inference_scheduler: str = "ddim",
+                          lora_rank: int = 0,
+                          lora_alpha: Optional[float] = None,
+                          train_lora_only: Optional[bool] = None,
                           **_: Any) -> StableDiffusion:
     """Tiny-geometry StableDiffusion for smoke tests / CI / CPU runs —
     real architecture, small channels (the reference's own test strategy,
@@ -169,10 +188,13 @@ def stable_diffusion_tiny(val_guidance_scales: Optional[List[float]] = None,
     from diffusion_tpu.models.clip import CLIPTextConfig
     from diffusion_tpu.models.unet import UNetConfig
     from diffusion_tpu.models.vae import VAEConfig
+    if train_lora_only is None:
+        train_lora_only = lora_rank > 0
     unet = UNet2DCondition(UNetConfig(
         in_channels=4, out_channels=4, block_out_channels=(32, 64),
         layers_per_block=1, block_has_attention=(True, False),
-        attention_head_dim=(2, 4), cross_attention_dim=32, norm_num_groups=8))
+        attention_head_dim=(2, 4), cross_attention_dim=32, norm_num_groups=8,
+        lora_rank=int(lora_rank), lora_alpha=lora_alpha))
     vae = AutoencoderKL(VAEConfig(block_out_channels=(8, 8, 8, 8),
                                   layers_per_block=1, norm_num_groups=4))
     text_encoder = CLIPTextModel(CLIPTextConfig(
@@ -191,7 +213,8 @@ def stable_diffusion_tiny(val_guidance_scales: Optional[List[float]] = None,
         pretrained_path=model_name if pretrained else None,
         val_metric_names=tuple(val_metrics or ("MeanSquaredError",)),
         allow_random_tower_weights=bool(allow_random_tower_weights),
-        val_guidance_scales=tuple(val_guidance_scales or ()), fsdp=True)
+        val_guidance_scales=tuple(val_guidance_scales or ()), fsdp=True,
+        train_lora_only=bool(train_lora_only))
 
 
 def _pixel_schedulers(prediction_type: str) -> Tuple[DDPMScheduler, DDIMScheduler]:

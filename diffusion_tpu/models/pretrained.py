@@ -118,11 +118,22 @@ def load_pretrained_params(model: Any,
         lambda r: model.init_params(r, image_size=image_size),
         jax.random.key(0))
 
-    params = load_component(path, "unet", port_unet)
-    _validate("unet", params, abstract[0])
-    params = _cast_like(params, abstract[0])
+    unet_np = load_component(path, "unet", port_unet)
+    extra_frozen: Dict[str, Dict] = {}
+    if getattr(model, "train_lora_only", False):
+        # HF checkpoints carry only base weights: they become the frozen
+        # base (same split init_params makes) and the trainable adapter
+        # initializes fresh — A random, B zero, so step 0 IS the pretrained
+        # model (models/lora.py)
+        base_abstract = abstract[1]["unet_base"]
+        _validate("unet", unet_np, base_abstract)
+        extra_frozen["unet_base"] = _cast_like(unet_np, base_abstract)
+        params = _init_lora_numpy(abstract[0])
+    else:
+        _validate("unet", unet_np, abstract[0])
+        params = _cast_like(unet_np, abstract[0])
     if not want_frozen:
-        return params, {}
+        return params, extra_frozen
 
     frozen: Dict[str, Dict] = {}
     if hasattr(model, "vae"):
@@ -134,4 +145,30 @@ def load_pretrained_params(model: Any,
         for key, tree in frozen.items():
             _validate(key, tree, abstract_frozen[key])
             frozen[key] = _cast_like(tree, abstract_frozen[key])
-    return params, frozen
+    return params, {**frozen, **extra_frozen}
+
+
+def _init_lora_numpy(abstract: Any, seed: int = 0) -> Any:
+    """Fresh host-side LoRA adapter matching `abstract`'s shapes/dtypes:
+    `*_lora_a` kernels ~ N(0, 0.02), `*_lora_b` zeros (layers.py Attention
+    init). B=0 makes the adapter's delta exactly zero whatever A holds, so
+    the numpy-vs-jax PRNG difference from a device init is immaterial; the
+    fixed seed keeps every pod host bit-identical without a collective."""
+    rng = np.random.default_rng(seed)
+
+    def leaf(path: str, sds: Any) -> np.ndarray:
+        if "_lora_b" in path:
+            return np.zeros(sds.shape, sds.dtype)
+        return rng.normal(0.0, 0.02, sds.shape).astype(sds.dtype)
+
+    flat = _flatten(abstract)
+    out = {k: leaf(k, v) for k, v in flat.items()}
+    # rebuild nesting from the flat '/'-joined paths
+    tree: Dict[str, Any] = {}
+    for k, v in out.items():
+        node = tree
+        parts = k.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree

@@ -78,6 +78,12 @@ class StableDiffusion:
     inception_weights: Optional[str] = None
     clip_metric_weights: Optional[str] = None
     allow_random_tower_weights: bool = False
+    # LoRA finetuning (models/lora.py): when True, only the UNet's LoRA
+    # adapter params (requires unet.config.lora_rank > 0) are trainable;
+    # the base UNet weights live in frozen["unet_base"] — same freezing
+    # mechanism as the VAE/CLIP towers, so optimizer state, EMA, and
+    # checkpoints cover just the ~MB-scale adapter.
+    train_lora_only: bool = False
     # Skip materializing the frozen VAE/CLIP towers entirely. The reference
     # always moves them to the device (models.py:80-85, fp16); on the
     # precomputed-latent training path they are never applied, and ~1.7 GB
@@ -99,17 +105,31 @@ class StableDiffusion:
         unet_params = self.unet.init(
             r_unet, jnp.zeros((1, latent, latent, self.unet.config.in_channels)),
             jnp.zeros((1,), jnp.int32), jnp.zeros((1, text_len, ctx_dim)))
+        extra_frozen = {}
+        if self.train_lora_only:
+            from diffusion_tpu.models.lora import split_lora
+            unet_params, extra_frozen["unet_base"] = split_lora(unet_params)
         want_frozen = self.init_frozen_towers
         if want_frozen is None:
             want_frozen = not (self.precomputed_latents
                                and not self.val_guidance_scales)
         if not want_frozen:
-            return unet_params, {}
+            return unet_params, extra_frozen
         vae_params = self.vae.init(
             r_vae, jnp.zeros((1, image_size, image_size, 3)), r_vae)
         text_params = self.text_encoder.init(
             r_text, jnp.zeros((1, text_len), jnp.int32))
-        return unet_params, {"vae": vae_params, "text_encoder": text_params}
+        return unet_params, {"vae": vae_params, "text_encoder": text_params,
+                             **extra_frozen}
+
+    def unet_variables(self, params: Dict, frozen: Dict) -> Dict:
+        """The full UNet variables tree for unet.apply: `params` as-is for
+        full training, base+adapter merge when train_lora_only split the
+        tree (pure pytree ops — traced once, free at runtime)."""
+        if "unet_base" in frozen:
+            from diffusion_tpu.models.lora import merge_lora
+            return merge_lora(frozen["unet_base"], params)
+        return params
 
     # ---------------- training ----------------
     def encode_images(self, frozen: Dict, images: jnp.ndarray,
@@ -145,7 +165,8 @@ class StableDiffusion:
         timesteps = jax.random.randint(r_t, (bsz,), 0, num_t)
         noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
         noised = self.noise_scheduler.add_noise(latents, noise, timesteps)
-        pred = self.unet.apply(params, noised, timesteps, conditioning)
+        pred = self.unet.apply(self.unet_variables(params, frozen), noised,
+                               timesteps, conditioning)
         if self.prediction_type == "epsilon":
             target = noise
         elif self.prediction_type == "sample":
@@ -321,7 +342,8 @@ class StableDiffusion:
                           else sched.init_noise_sigma)
             latents = jax.random.normal(rng, lat_shape,
                                         jnp.float32) * init_scale
-        latents = self.denoise_loop(params, latents, embeddings,
+        latents = self.denoise_loop(self.unet_variables(params, frozen),
+                                    latents, embeddings,
                                     guidance_scale, num_inference_steps,
                                     t_start=t_start)
         images = self.vae.apply(frozen["vae"], latents / self.latent_scale,

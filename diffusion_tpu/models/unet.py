@@ -50,6 +50,11 @@ class UNetConfig:
     freq_shift: float = 0.0
     norm_num_groups: int = 32
     dropout: float = 0.0
+    # LoRA adapters on every attention projection (models/layers.py
+    # Attention): 0 = off (base tree identical to pre-LoRA checkpoints).
+    # Pairs with StableDiffusion.train_lora_only for adapter-only finetunes.
+    lora_rank: int = 0
+    lora_alpha: Optional[float] = None
 
     @property
     def head_dim(self) -> Tuple[int, ...]:
@@ -131,6 +136,8 @@ class UNet2DCondition(nn.Module):
                              depth=cfg.transformer_depth,
                              use_linear_projection=cfg.use_linear_projection,
                              groups=cfg.norm_num_groups, dtype=self.dtype,
+                             lora_rank=cfg.lora_rank,
+                             lora_alpha=cfg.lora_alpha,
                              name=f"down_{i}_attn_{j}")(h, context)
                 h = constrain_batch(h)
                 residuals.append(h)
@@ -148,6 +155,7 @@ class UNet2DCondition(nn.Module):
                  depth=cfg.transformer_depth,
                  use_linear_projection=cfg.use_linear_projection,
                  groups=cfg.norm_num_groups, dtype=self.dtype,
+                 lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
                  name="mid_attn")(h, context)
         h = Res(mid_ch, groups=cfg.norm_num_groups, dropout=cfg.dropout,
                 dtype=self.dtype, name="mid_res_1")(h, temb)
@@ -170,6 +178,8 @@ class UNet2DCondition(nn.Module):
                              depth=cfg.transformer_depth,
                              use_linear_projection=cfg.use_linear_projection,
                              groups=cfg.norm_num_groups, dtype=self.dtype,
+                             lora_rank=cfg.lora_rank,
+                             lora_alpha=cfg.lora_alpha,
                              name=f"up_{i}_attn_{j}")(h, context)
                 h = constrain_batch(h)
             if i < num_blocks - 1:

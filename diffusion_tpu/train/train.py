@@ -142,6 +142,8 @@ def build_trainer(config: Dict[str, Any]) -> Trainer:
 
 def train(config: Dict[str, Any]) -> Trainer:
     """Full composition + eval-first + fit (reference train.py:130-138)."""
+    from diffusion_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(config.get("compile_cache_dir"))
     dist.initialize()
     trainer = build_trainer(config)
     try:

@@ -195,3 +195,36 @@ def test_missing_component_raises(tmp_path):
                                 pretrained_path=str(tmp_path))
     with pytest.raises(FileNotFoundError, match="unet"):
         load_pretrained_params(model, image_size=32)
+
+
+def test_pretrained_with_lora_adapter(ported_dir):
+    """pretrained + lora_rank: the ported HF weights become the frozen base,
+    the trainable tree is a fresh adapter (B=0), and the combined model
+    reproduces the torch UNet exactly at step 0 — the classic 'finetune SD2
+    with LoRA' entry point."""
+    from flax import traverse_util
+
+    from diffusion_tpu.models.lora import is_lora_key
+
+    _, t_unet, _, _ = ported_dir
+    model = stable_diffusion_tiny(pretrained=True,
+                                  model_name=str(ported_dir[0]), lora_rank=4)
+    assert model.train_lora_only
+    params, frozen = load_pretrained_params(model, image_size=32)
+    flat = traverse_util.flatten_dict(params)
+    assert flat and all(is_lora_key(k) for k in flat)
+    assert "unet_base" in frozen
+
+    rng = np.random.default_rng(0)
+    sample = rng.normal(size=(2, 4, 8, 8)).astype(np.float32)
+    tsteps = np.asarray([7, 421], np.int64)
+    ctx = rng.normal(size=(2, 77, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = t_unet(torch.from_numpy(sample), torch.from_numpy(tsteps),
+                      torch.from_numpy(ctx)).numpy()
+    got = np.asarray(model.unet.apply(
+        model.unet_variables(params, frozen),
+        jnp.asarray(sample.transpose(0, 2, 3, 1)),
+        jnp.asarray(tsteps), jnp.asarray(ctx)))
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1),
+                               atol=1e-4, rtol=1e-3)

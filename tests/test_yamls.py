@@ -242,3 +242,33 @@ def test_eval_and_inference_yamls_parse():
         inf = pyyaml.safe_load(f)
     assert inf["model"]["model_handler"].endswith("StableDiffusionInference")
     assert "serve" in inf["command"]
+
+
+@pytest.mark.slow
+def test_sd2_base_256_lora_yaml(fixtures):
+    """The LoRA finetune recipe composes: adapter-only trainable tree,
+    frozen base, tiny optimizer surface."""
+    cfg = load_config(os.path.join(YAML_DIR, "SD-2-base-256-lora.yaml"),
+                      BASE_OVERRIDES + [
+        f"dataset.train_dataset.remote={fixtures['laion']}",
+        "+dataset.train_dataset.image_key=jpg",
+        "+dataset.train_dataset.caption_key=caption",
+        "dataset.train_dataset.num_workers=1",
+        "dataset.train_dataset.resize_size=32",
+        f"dataset.eval_dataset.remote={fixtures['coco']}",
+        "dataset.eval_dataset.num_workers=1",
+        "dataset.eval_dataset.resize_size=32",
+        "trainer.image_size=32",
+        "model.lora_rank=4",
+    ])
+    cfg.pop("logger", None)
+    trainer = build_trainer(cfg)
+    from flax import traverse_util
+
+    from diffusion_tpu.models.lora import is_lora_key
+    flat = traverse_util.flatten_dict(trainer.train_state.params)
+    assert flat and all(is_lora_key(k) for k in flat)
+    assert "unet_base" in trainer.frozen
+    batch = next(iter(trainer.train_dataloader))
+    assert "captions" in batch
+    trainer.close()
