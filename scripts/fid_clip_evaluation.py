@@ -59,6 +59,13 @@ def main(argv=None) -> dict:
                         "--num_inference_steps 20 matches 50-step DDIM "
                         "quality at ~2.5x the eval throughput")
     p.add_argument("--out", default="eval_metrics.jsonl")
+    p.add_argument("--wandb", action="store_true",
+                   help="log to wandb (reference fid-clip-evaluation.py:32; "
+                        "no-op if wandb is not installed)")
+    p.add_argument("--project", default="diffusion-eval",
+                   help="wandb project (ref :33)")
+    p.add_argument("--name", default="fid-clip-evaluation",
+                   help="wandb run name (ref :34)")
     args = p.parse_args(argv)
 
     from diffusion_tpu.callbacks.log_diffusion_images import LogDiffusionImages
@@ -66,7 +73,8 @@ def main(argv=None) -> dict:
     from diffusion_tpu.data.coco import build_streaming_cocoval_dataloader
     from diffusion_tpu.parallel import dist
     from diffusion_tpu.train.trainer import Evaluator, Trainer
-    from diffusion_tpu.utils.logging import ConsoleLogger, FileLogger
+    from diffusion_tpu.utils.logging import (ConsoleLogger, FileLogger,
+                                             WandBLogger)
 
     dist.initialize()
     loader = build_streaming_cocoval_dataloader(
@@ -84,8 +92,11 @@ def main(argv=None) -> dict:
         model=model,
         eval_dataloader=[Evaluator("coco-val", loader,
                                    model.val_metric_names)],
-        loggers=[ConsoleLogger(log_interval=1),
-                 FileLogger(args.out)],
+        loggers=[ConsoleLogger(log_interval=1), FileLogger(args.out)]
+        + ([WandBLogger(project=args.project,
+                        name=args.name + ("-pretrained" if not args.load_path
+                                          else ""))]
+           if args.wandb else []),
         callbacks=[LogDiffusionImages(PROMPTS, size=args.size,
                                       guidance_scale=args.guidance_scale,
                                       seed=args.seed)],

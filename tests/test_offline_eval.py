@@ -68,6 +68,8 @@ def test_fid_clip_protocol_end_to_end(coco_mds, tmp_path):
         "--subset_num_batches", "2",
         "--guidance_scale", "3.0",
         "--out", out,
+        "--wandb",          # no-op logger in this image (wandb absent) but
+                            # exercises the reference's --wandb surface
     ])
     fid_keys = [k for k in results if "FrechetInceptionDistance" in k]
     clip_keys = [k for k in results if "CLIPScore" in k]

@@ -242,6 +242,10 @@ def test_eval_and_inference_yamls_parse():
         inf = pyyaml.safe_load(f)
     assert inf["model"]["model_handler"].endswith("StableDiffusionInference")
     assert "serve" in inf["command"]
+    with open(os.path.join(YAML_DIR, "mosaic", "eval.yaml")) as f:
+        mev = pyyaml.safe_load(f)
+    assert "fid_clip_evaluation" in mev["command"]
+    assert "--wandb" in mev["command"] and "compute" in mev
 
 
 @pytest.mark.slow
