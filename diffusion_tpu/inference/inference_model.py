@@ -129,9 +129,10 @@ class StableDiffusionInference:
 
     def _parse(self, inputs: Dict[str, Any], default_size: int,
                default_seed: int):
-        """-> (prompts, negatives_or_None, init_images_or_None, config_key).
-        The key is what must match for two requests to share one device
-        program invocation."""
+        """-> (prompts, negatives_or_None, images_and_masks, config_key).
+        `images_and_masks` is None or (init_b64s, mask_b64s_or_None). The
+        key is what must match for two requests to share one device program
+        invocation."""
         prompt = inputs.get("prompt")
         if not prompt:
             raise ValueError("prompt required")
@@ -143,6 +144,7 @@ class StableDiffusionInference:
             raise ValueError("negative_prompt count != prompt count")
         image = inputs.get("image")
         init_images = None
+        masks = None
         strength = None
         if image:
             # img2img: base64 PNG/JPEG, one per prompt (a single image is
@@ -155,8 +157,16 @@ class StableDiffusionInference:
             strength = float(inputs.get("strength", 0.8))
             if not 0.0 < strength <= 1.0:
                 raise ValueError(f"strength must be in (0, 1], got {strength}")
+            m = inputs.get("mask")
+            if m:
+                # inpainting: grayscale base64, white = regenerate
+                masks = [m] * len(prompts) if isinstance(m, str) else list(m)
+                if len(masks) != len(prompts):
+                    raise ValueError("mask count != prompt count")
         elif "strength" in inputs:
             raise ValueError("strength requires an image (img2img)")
+        elif inputs.get("mask"):
+            raise ValueError("mask (inpainting) requires an image")
         key = (int(inputs.get("num_inference_steps", 50)),
                int(inputs.get("height", default_size)),
                int(inputs.get("width", default_size)),
@@ -165,8 +175,10 @@ class StableDiffusionInference:
                int(inputs.get("num_images_per_prompt", 1)),
                negatives is not None,
                self._normalize_scheduler(inputs.get("scheduler")),
-               strength)  # None = text-to-image program
-        return prompts, negatives, init_images, key
+               strength,   # None = text-to-image program
+               masks is not None)  # inpainting program takes a mask arg
+        return prompts, negatives, (
+            (init_images, masks) if init_images else None), key
 
     def _normalize_scheduler(self, requested) -> Optional[str]:
         """Canonical per-request sampler name, or None for 'the model's
@@ -200,6 +212,16 @@ class StableDiffusionInference:
             img = img.resize((width, height), Image.BICUBIC)
         return np.asarray(img, np.float32) / 255.0
 
+    @staticmethod
+    def _decode_mask(b64: str, height: int, width: int) -> np.ndarray:
+        """base64 PNG/JPEG -> float32 (H, W) in [0, 1] (grayscale; white =
+        regenerate), resized to the request geometry."""
+        from PIL import Image
+        img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("L")
+        if img.size != (width, height):
+            img = img.resize((width, height), Image.BILINEAR)
+        return np.asarray(img, np.float32) / 255.0
+
     def predict_many(self, requests: List[Dict[str, Any]]) -> List[List[str]]:
         """One device dispatch for several /predict requests (server-side
         dynamic batching — beyond the reference's one-request-at-a-time
@@ -221,7 +243,7 @@ class StableDiffusionInference:
             raise ValueError(
                 f"unmergeable requests: {sorted(keys, key=repr)}")
         (steps, height, width, scale, seed, n_per, has_neg, sched,
-         strength) = parsed[0][3]
+         strength, has_mask) = parsed[0][3]
         prompts = [p for pr, _, _, _ in parsed for p in pr]
         negatives = ([n for _, ng, _, _ in parsed for n in ng]
                      if has_neg else None)
@@ -235,10 +257,15 @@ class StableDiffusionInference:
             if has_neg else None)
         gen_kwargs: Dict[str, Any] = {}
         if strength is not None:       # img2img batch
-            b64s = [b for _, _, im, _ in parsed for b in im]
+            b64s = [b for _, _, im, _ in parsed for b in im[0]]
             arrs = [self._decode_image(b, height, width) for b in b64s]
             arrs += [arrs[-1]] * (padded - n)
             gen_kwargs["image"] = jnp.asarray(np.stack(arrs))
+            if has_mask:               # inpainting batch
+                mb64s = [b for _, _, im, _ in parsed for b in im[1]]
+                marrs = [self._decode_mask(b, height, width) for b in mb64s]
+                marrs += [marrs[-1]] * (padded - n)
+                gen_kwargs["mask"] = jnp.asarray(np.stack(marrs))
         images = self._gen_fn(steps, height, width, scale, n_per, sched,
                               strength)(
             self.params, self.frozen, prompt_ids, negative_ids=negative_ids,
@@ -260,5 +287,9 @@ class StableDiffusionInference:
         `scheduler` (ddim | dpm++2m | euler) picks the sampler per request,
         and `image` (base64 PNG/JPEG, str or list) + `strength` (0, 1]
         switch to img2img (SDEdit) — the image is encoded, noised
-        `strength` of the way to pure noise, and denoised from there."""
+        `strength` of the way to pure noise, and denoised from there.
+        Adding `mask` (grayscale base64, white = regenerate, str or list)
+        switches to inpainting: only the white region is re-synthesized,
+        the rest is preserved from the input image (use strength=1.0 to
+        fully free the masked region)."""
         return self.predict_many([inputs])[0]

@@ -15,6 +15,9 @@ pinning at batch-1. `--max-batch-size 1` restores one-at-a-time.
 
 POST /predict  {"prompt": "...", "guidance_scale": 7.5, ...}
   -> {"images": ["<base64 png>", ...]}
+  optional: "scheduler" (ddim|dpm++2m|euler), "image" (base64) +
+  "strength" for img2img, plus "mask" (grayscale base64, white =
+  regenerate) for inpainting
 GET  /health   -> {"status": "ok"}
 """
 

@@ -115,6 +115,7 @@ def stable_diffusion_2(
     lora_rank: int = 0,
     lora_alpha: Optional[float] = None,
     train_lora_only: Optional[bool] = None,
+    min_snr_gamma: Optional[float] = None,
 ) -> StableDiffusion:
     """SD-2.0-base training setup (reference models.py:28-112).
 
@@ -166,6 +167,7 @@ def stable_diffusion_2(
         allow_random_tower_weights=bool(allow_random_tower_weights),
         init_frozen_towers=init_frozen_towers,
         train_lora_only=bool(train_lora_only),
+        min_snr_gamma=min_snr_gamma,
     )
 
 
@@ -179,6 +181,7 @@ def stable_diffusion_tiny(val_guidance_scales: Optional[List[float]] = None,
                           lora_rank: int = 0,
                           lora_alpha: Optional[float] = None,
                           train_lora_only: Optional[bool] = None,
+                          min_snr_gamma: Optional[float] = None,
                           **_: Any) -> StableDiffusion:
     """Tiny-geometry StableDiffusion for smoke tests / CI / CPU runs —
     real architecture, small channels (the reference's own test strategy,
@@ -214,7 +217,7 @@ def stable_diffusion_tiny(val_guidance_scales: Optional[List[float]] = None,
         val_metric_names=tuple(val_metrics or ("MeanSquaredError",)),
         allow_random_tower_weights=bool(allow_random_tower_weights),
         val_guidance_scales=tuple(val_guidance_scales or ()), fsdp=True,
-        train_lora_only=bool(train_lora_only))
+        train_lora_only=bool(train_lora_only), min_snr_gamma=min_snr_gamma)
 
 
 def _pixel_schedulers(prediction_type: str) -> Tuple[DDPMScheduler, DDIMScheduler]:

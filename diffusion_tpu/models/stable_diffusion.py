@@ -55,6 +55,11 @@ class StableDiffusion:
     # knob. Multistep solvers additionally expose init_state/step_with_state.
     inference_scheduler: Any
     prediction_type: str = "epsilon"
+    # Min-SNR loss weighting (Hang et al. 2023, arXiv:2303.09556; beyond the
+    # reference's plain MSE, models/stable_diffusion.py:185-187): per-sample
+    # weight clamps the effective SNR at gamma so easy low-noise timesteps
+    # stop dominating the gradient. None = plain MSE (reference parity).
+    min_snr_gamma: Optional[float] = None
     latent_scale: float = 0.18215
     precomputed_latents: bool = False
     image_key: str = "image"
@@ -177,11 +182,32 @@ class StableDiffusion:
             raise ValueError(f"unknown prediction_type {self.prediction_type!r}")
         return pred, target, timesteps
 
-    @staticmethod
-    def loss(outputs: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+    def loss(self, outputs: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+        """MSE(pred, target) (ref :185-187), optionally min-SNR-weighted.
+
+        With `min_snr_gamma` set, each sample's squared error is scaled by
+        the prediction-space min-SNR weight (arXiv:2303.09556 tbl. 1):
+        epsilon: min(SNR, g)/SNR; v: min(SNR, g)/(SNR+1); sample (x0-space
+        loss is 1/SNR of the epsilon-space one): min(SNR, g)."""
         pred, target = outputs[0], outputs[1]
-        return jnp.mean(jnp.square(pred.astype(jnp.float32)
-                                   - target.astype(jnp.float32)))
+        se = jnp.square(pred.astype(jnp.float32)
+                        - target.astype(jnp.float32))
+        if self.min_snr_gamma is None:
+            return jnp.mean(se)
+        t = outputs[2]
+        abar = self.noise_scheduler.alphas_cumprod[t]           # (B,)
+        snr = abar / jnp.maximum(1.0 - abar, 1e-12)
+        g = float(self.min_snr_gamma)
+        if self.prediction_type == "epsilon":
+            w = jnp.minimum(snr, g) / snr
+        elif self.prediction_type == "v_prediction":
+            w = jnp.minimum(snr, g) / (snr + 1.0)
+        elif self.prediction_type == "sample":
+            w = jnp.minimum(snr, g)
+        else:
+            raise ValueError(f"unknown prediction_type {self.prediction_type!r}")
+        per_sample = jnp.mean(se, axis=tuple(range(1, se.ndim)))
+        return jnp.mean(w * per_sample)
 
     def loss_fn(self, params: Dict, frozen: Dict, batch: Dict,
                 rng: jax.Array) -> jnp.ndarray:
@@ -205,7 +231,10 @@ class StableDiffusion:
 
     def denoise_loop(self, params: Dict, latents: jnp.ndarray,
                      text_embeddings: jnp.ndarray, guidance_scale: float,
-                     num_inference_steps: int, t_start: int = 0) -> jnp.ndarray:
+                     num_inference_steps: int, t_start: int = 0,
+                     inpaint: Optional[Tuple[jnp.ndarray, jnp.ndarray,
+                                             jnp.ndarray]] = None
+                     ) -> jnp.ndarray:
         """CFG denoise loop under lax.scan (ref :359-375, one compile).
 
         Works with any scheduler following the repo protocol. Multistep
@@ -214,13 +243,31 @@ class StableDiffusion:
         latents so the whole loop still compiles to one XLA while-loop.
         `t_start` (static) skips the first grid entries — the img2img/SDEdit
         path enters mid-trajectory with latents already noised to
-        `timesteps(n)[0][t_start]`."""
+        `timesteps(n)[0][t_start]`.
+
+        `inpaint = (lat0, mask, noise)` masks the denoise (inpainting):
+        after every step the region where mask==0 is replaced by the clean
+        latents `lat0` re-noised to the step's destination noise level in
+        the sampler's own working space (`noise_to`), so only mask==1 evolves
+        freely. The terminal step (t_prev < 0) pastes `lat0` exactly."""
         sched = self.inference_scheduler
         ts, tps = sched.timesteps(num_inference_steps)
         ts, tps = ts[t_start:], tps[t_start:]
         n = len(ts)
         if n == 0:
             return latents
+
+        if inpaint is not None:
+            lat0, mask, ip_noise = inpaint
+
+            def blend(lat, tp):
+                keep = jnp.where(
+                    tp >= 0,
+                    sched.noise_to(lat0, ip_noise, jnp.maximum(tp, 0)),
+                    lat0)
+                return mask * lat + (1.0 - mask) * keep
+        else:
+            blend = None
 
         def cfg_pred(lat, t):
             model_in = jnp.concatenate([lat, lat], axis=0)
@@ -237,6 +284,8 @@ class StableDiffusion:
                 pred = cfg_pred(lat, t)
                 lat, state = sched.step_with_state(pred, t, tp, lat, state,
                                                    i, n)
+                if blend is not None:
+                    lat = blend(lat, tp)
                 return (lat, state), None
 
             (latents, _), _ = jax.lax.scan(
@@ -246,7 +295,10 @@ class StableDiffusion:
             def body(lat, t_pair):
                 t, tp = t_pair
                 pred = cfg_pred(lat, t)
-                return sched.step(pred, t, tp, lat), None
+                lat = sched.step(pred, t, tp, lat)
+                if blend is not None:
+                    lat = blend(lat, tp)
+                return lat, None
 
             latents, _ = jax.lax.scan(body, latents,
                                       (jnp.asarray(ts), jnp.asarray(tps)))
@@ -263,7 +315,8 @@ class StableDiffusion:
                  seed: Optional[int] = None,
                  rng: Optional[jax.Array] = None,
                  image: Optional[jnp.ndarray] = None,
-                 strength: float = 0.8) -> jnp.ndarray:
+                 strength: float = 0.8,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Text -> images in [0, 1], (B, H, W, 3). Same seed => same images
         (reference seeds a torch Generator, ref :322-326; here a jax key).
 
@@ -277,7 +330,16 @@ class StableDiffusion:
         the image is VAE-encoded, noised to the grid point `strength` of the
         way back toward pure noise (diffusers Img2Img semantics:
         init_timestep = int(steps * strength)), and only the remaining tail
-        of the denoise loop runs, so cost scales with strength too."""
+        of the denoise loop runs, so cost scales with strength too.
+
+        Inpainting (works with any SD2 checkpoint — masked denoising, no
+        9-channel UNet needed): additionally pass `mask` in [0, 1] with
+        1 = regenerate and 0 = preserve, shaped (B, H, W), (B, H, W, 1) or
+        already at latent resolution (B, H/8, W/8[, 1]). Image-resolution
+        masks are 8x8 average-pooled, so soft edges blend smoothly. After
+        every denoise step the preserved region is re-imposed from the
+        original latents at the step's noise level; `strength=1.0` frees
+        the masked region completely."""
         if rng is None:
             rng = jax.random.key(self.val_seed if seed is None else seed)
         if prompt_embeds is not None:
@@ -314,6 +376,9 @@ class StableDiffusion:
         sched = self.inference_scheduler
         lat_shape = (bsz, height // 8, width // 8,
                      self.vae.config.latent_channels)
+        if mask is not None and image is None:
+            raise ValueError("mask (inpainting) requires an init image")
+        inpaint = None
         if image is not None:
             if not hasattr(sched, "noise_to"):
                 raise ValueError(
@@ -332,7 +397,30 @@ class StableDiffusion:
             t_start = num_inference_steps - init_timestep
             ts, _ = sched.timesteps(num_inference_steps)
             noise = jax.random.normal(rng, lat_shape, jnp.float32)
-            latents = sched.noise_to(lat0, noise, jnp.asarray(ts[t_start]))
+            if init_timestep == 0:
+                # strength rounds to zero grid entries: nothing to denoise,
+                # the output is the VAE reconstruction of the input
+                latents = lat0
+            else:
+                latents = sched.noise_to(lat0, noise,
+                                         jnp.asarray(ts[t_start]))
+            if mask is not None:
+                m = jnp.asarray(mask, jnp.float32)
+                if m.ndim == 3:
+                    m = m[..., None]                       # (B, H, W, 1)
+                lh, lw = lat_shape[1], lat_shape[2]
+                if m.shape[1] != lh or m.shape[2] != lw:
+                    if m.shape[1] % lh or m.shape[2] % lw:
+                        raise ValueError(
+                            f"mask spatial dims {m.shape[1:3]} are neither "
+                            f"latent-resolution ({lh}, {lw}) nor an integer "
+                            f"multiple of it")
+                    fh, fw = m.shape[1] // lh, m.shape[2] // lw
+                    # average-pool to latent resolution (soft edges blend)
+                    m = m.reshape(m.shape[0], lh, fh, lw, fw, 1).mean((2, 4))
+                if num_images_per_prompt > 1:
+                    m = jnp.repeat(m, num_images_per_prompt, axis=0)
+                inpaint = (lat0, m, noise)
         else:
             t_start = 0
             # sigma-space samplers (Euler) scale x_T by the *inference
@@ -345,7 +433,7 @@ class StableDiffusion:
         latents = self.denoise_loop(self.unet_variables(params, frozen),
                                     latents, embeddings,
                                     guidance_scale, num_inference_steps,
-                                    t_start=t_start)
+                                    t_start=t_start, inpaint=inpaint)
         images = self.vae.apply(frozen["vae"], latents / self.latent_scale,
                                 method=self.vae.decode)
         return jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)

@@ -155,6 +155,46 @@ def test_predict_img2img(endpoint):
                          num_inference_steps=4)
 
 
+def test_predict_inpaint(endpoint):
+    """Inpainting serving: base64 image + grayscale mask runs masked
+    denoising — a black (all-preserve) mask returns the same pixels for any
+    prompt; mask presence keys the batch; mask without image is a client
+    error."""
+    rng = np.random.default_rng(11)
+    src = (rng.uniform(0, 1, (32, 32, 3)) * 255).astype(np.uint8)
+
+    def _b64(arr, mode=None):
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode=mode).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode("ascii")
+
+    img = _b64(src)
+    black = _b64(np.zeros((32, 32), np.uint8), "L")       # preserve all
+    half = np.zeros((32, 32), np.uint8)
+    half[16:] = 255                                       # regenerate bottom
+    halfmask = _b64(half, "L")
+
+    kw = dict(num_inference_steps=4, guidance_scale=3.0, seed=2,
+              image=img, strength=1.0)
+    keep_a = endpoint.predict(prompt="a cat in the snow", mask=black, **kw)
+    keep_b = endpoint.predict(prompt="a dog in the rain", mask=black, **kw)
+    assert keep_a == keep_b        # fully-preserved output ignores the prompt
+    assert _decode_png(keep_a[0]).shape == (32, 32, 3)
+
+    out = endpoint.predict(prompt="a cat in the snow", mask=halfmask, **kw)
+    assert _decode_png(out[0]).shape == (32, 32, 3)
+    assert out != keep_a           # masked region was re-synthesized
+
+    k_img = endpoint.batch_key({"prompt": "x", **kw})
+    k_msk = endpoint.batch_key({"prompt": "x", "mask": halfmask, **kw})
+    assert k_img != k_msk          # mask arg = different device program
+    with pytest.raises(ValueError, match="mask .*requires an image"):
+        endpoint.predict(prompt="x", mask=halfmask, num_inference_steps=4)
+    with pytest.raises(ValueError, match="mask count"):
+        endpoint.predict(prompt=["a", "b"], image=[img, img],
+                         mask=[halfmask], num_inference_steps=4)
+
+
 def test_batcher_coalesces_concurrent_requests(endpoint):
     """Concurrent submits with one config produce one predict_many call
     (chip dispatch), and every caller gets its own images."""

@@ -119,6 +119,93 @@ def test_model_img2img_rejects_bad_strength(sd):
                        num_inference_steps=2, image=init, strength=0.0)
 
 
+@pytest.mark.parametrize("scheduler_name", ["ddim", "dpm++2m", "euler"])
+def test_model_generate_inpaint(sd, scheduler_name):
+    """Inpainting (masked denoising, any SD2 checkpoint): mask==1 everywhere
+    reduces bit-exactly to plain img2img (the blend is the identity), and
+    mask==0 everywhere preserves the input regardless of the prompt — the
+    output is the VAE reconstruction, identical across prompts."""
+    import dataclasses
+
+    from diffusion_tpu.models.models import _make_inference_scheduler
+    model, params, frozen = sd
+    model = dataclasses.replace(
+        model, inference_scheduler=_make_inference_scheduler(scheduler_name))
+    tok = model.tokenizer
+    cat_ids = jnp.asarray(tok(["a cute cat"])["input_ids"])
+    dog_ids = jnp.asarray(tok(["a loyal dog"])["input_ids"])
+    init = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (1, 32, 32, 3)).astype(np.float32))
+    kw = dict(height=32, width=32, guidance_scale=3.0,
+              num_inference_steps=4, seed=0, image=init, strength=1.0)
+
+    # mask of ones (image resolution) == img2img, bit-exact
+    ones = jnp.ones((1, 32, 32), jnp.float32)
+    plain = np.asarray(model.generate(params, frozen, cat_ids, **kw))
+    full = np.asarray(model.generate(params, frozen, cat_ids, mask=ones, **kw))
+    np.testing.assert_array_equal(plain, full)
+
+    # mask of zeros (latent resolution, with channel dim): prompt-independent
+    zeros = jnp.zeros((1, 4, 4, 1), jnp.float32)
+    keep_cat = np.asarray(model.generate(params, frozen, cat_ids,
+                                         mask=zeros, **kw))
+    keep_dog = np.asarray(model.generate(params, frozen, dog_ids,
+                                         mask=zeros, **kw))
+    np.testing.assert_array_equal(keep_cat, keep_dog)
+    assert np.isfinite(keep_cat).all()
+    assert keep_cat.min() >= 0.0 and keep_cat.max() <= 1.0
+
+    # half mask: valid output that matches neither extreme
+    half = ones.at[:, :16, :].set(0.0)
+    mid = np.asarray(model.generate(params, frozen, cat_ids, mask=half, **kw))
+    assert np.isfinite(mid).all()
+    assert np.abs(mid - plain).max() > 0 and np.abs(mid - keep_cat).max() > 0
+
+
+def test_model_inpaint_validation(sd):
+    model, params, frozen = sd
+    prompt_ids = jnp.asarray(model.tokenizer(["a"])["input_ids"])
+    init = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    with pytest.raises(ValueError, match="requires an init image"):
+        model.generate(params, frozen, prompt_ids, height=32, width=32,
+                       num_inference_steps=2,
+                       mask=jnp.ones((1, 32, 32), jnp.float32))
+    with pytest.raises(ValueError, match="mask spatial dims"):
+        model.generate(params, frozen, prompt_ids, height=32, width=32,
+                       num_inference_steps=2, image=init,
+                       mask=jnp.ones((1, 5, 7), jnp.float32))
+
+
+@pytest.mark.parametrize("prediction_type", ["epsilon", "v_prediction",
+                                             "sample"])
+def test_min_snr_loss_weighting(sd, prediction_type):
+    """min-SNR-gamma loss weighting (arXiv:2303.09556): the weighted loss
+    equals the hand-computed per-sample weight applied to the per-sample
+    MSE, for every prediction-space weight formula; gamma=None stays plain
+    MSE (reference parity)."""
+    import dataclasses
+    model, params, frozen = sd
+    gamma = 5.0
+    m = dataclasses.replace(model, min_snr_gamma=gamma,
+                            prediction_type=prediction_type)
+    batch = _batch(m, bsz=4)
+    outputs = m.forward(params, frozen, batch, jax.random.key(3))
+    pred, target, t = (np.asarray(o, np.float64) for o in outputs)
+    abar = np.asarray(m.noise_scheduler.alphas_cumprod,
+                      np.float64)[np.asarray(t, np.int32)]
+    snr = abar / (1 - abar)
+    w = {"epsilon": np.minimum(snr, gamma) / snr,
+         "v_prediction": np.minimum(snr, gamma) / (snr + 1.0),
+         "sample": np.minimum(snr, gamma)}[prediction_type]
+    expected = np.mean(w * np.mean((pred - target) ** 2, axis=(1, 2, 3)))
+    got = float(m.loss(outputs))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+    # gamma=None is the unweighted reference loss
+    plain = dataclasses.replace(m, min_snr_gamma=None)
+    np.testing.assert_allclose(float(plain.loss(outputs)),
+                               np.mean((pred - target) ** 2), rtol=1e-5)
+
+
 def test_inference_scheduler_builder_knob():
     """yaml surface: model.inference_scheduler selects the sampler; unknown
     names fail fast with the choices listed."""
