@@ -116,6 +116,7 @@ def stable_diffusion_2(
     lora_alpha: Optional[float] = None,
     train_lora_only: Optional[bool] = None,
     min_snr_gamma: Optional[float] = None,
+    prediction_type: str = "epsilon",
 ) -> StableDiffusion:
     """SD-2.0-base training setup (reference models.py:28-112).
 
@@ -142,7 +143,10 @@ def stable_diffusion_2(
     vae = AutoencoderKL(SD2_VAE, dtype=dtype)
     text_encoder = CLIPTextModel(SD2_TEXT_CONFIG, dtype=dtype)
     tokenizer = _load_tokenizer(model_name)
-    noise_scheduler = DDPMScheduler()          # SD2: 0.00085->0.012 scaled_linear
+    # SD2: 0.00085->0.012 scaled_linear betas. prediction_type=v_prediction
+    # gives the SD2.1-768-style velocity target; _make_inference_scheduler's
+    # `like=` carries it into the sampler so generate() converts correctly.
+    noise_scheduler = DDPMScheduler(prediction_type=prediction_type)
     inference_scheduler = _make_inference_scheduler(inference_scheduler,
                                                     like=noise_scheduler)
 
@@ -168,6 +172,7 @@ def stable_diffusion_2(
         init_frozen_towers=init_frozen_towers,
         train_lora_only=bool(train_lora_only),
         min_snr_gamma=min_snr_gamma,
+        prediction_type=prediction_type,
     )
 
 
@@ -182,6 +187,7 @@ def stable_diffusion_tiny(val_guidance_scales: Optional[List[float]] = None,
                           lora_alpha: Optional[float] = None,
                           train_lora_only: Optional[bool] = None,
                           min_snr_gamma: Optional[float] = None,
+                          prediction_type: str = "epsilon",
                           **_: Any) -> StableDiffusion:
     """Tiny-geometry StableDiffusion for smoke tests / CI / CPU runs —
     real architecture, small channels (the reference's own test strategy,
@@ -209,9 +215,12 @@ def stable_diffusion_tiny(val_guidance_scales: Optional[List[float]] = None,
             "directory (no network in this environment)")
     return StableDiffusion(
         unet=unet, vae=vae, text_encoder=text_encoder,
-        tokenizer=tiny_tokenizer(), noise_scheduler=DDPMScheduler(),
+        tokenizer=tiny_tokenizer(),
+        noise_scheduler=DDPMScheduler(prediction_type=prediction_type),
         inference_scheduler=_make_inference_scheduler(
-            inference_scheduler, like=DDPMScheduler()),
+            inference_scheduler,
+            like=DDPMScheduler(prediction_type=prediction_type)),
+        prediction_type=prediction_type,
         precomputed_latents=precomputed_latents,
         pretrained_path=model_name if pretrained else None,
         val_metric_names=tuple(val_metrics or ("MeanSquaredError",)),

@@ -206,6 +206,28 @@ def test_min_snr_loss_weighting(sd, prediction_type):
                                np.mean((pred - target) ** 2), rtol=1e-5)
 
 
+def test_prediction_type_builder_knob():
+    """model.prediction_type=v_prediction (SD2.1-768-style) threads through
+    the builder into the model, the DDPM noise schedule AND the inference
+    sampler (via _make_inference_scheduler's like=), so training targets
+    velocity and generate() converts the model output correctly."""
+    from diffusion_tpu.models.models import stable_diffusion_tiny
+    m = stable_diffusion_tiny(prediction_type="v_prediction",
+                              inference_scheduler="dpm++2m")
+    assert m.prediction_type == "v_prediction"
+    assert m.noise_scheduler.prediction_type == "v_prediction"
+    assert m.inference_scheduler.prediction_type == "v_prediction"
+    params, frozen = m.init_params(jax.random.key(0), image_size=32)
+    batch = _batch(m)
+    pred, target, t = m.forward(params, frozen, batch, jax.random.key(1))
+    # the target is the velocity, not the noise
+    assert np.isfinite(np.asarray(target)).all()
+    out = m.generate(params, frozen,
+                     jnp.asarray(m.tokenizer(["a cute cat"])["input_ids"]),
+                     height=32, width=32, num_inference_steps=2, seed=0)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_inference_scheduler_builder_knob():
     """yaml surface: model.inference_scheduler selects the sampler; unknown
     names fail fast with the choices listed."""
