@@ -45,6 +45,7 @@ class StableDiffusionInference:
                  pretrained: bool = False,
                  default_size: int = 512, seed: int = 0,
                  pad_to_bucket: bool = True,
+                 allow_random_frozen: bool = False,
                  builder: Any = None, **model_kwargs: Any):
         self.pad_to_bucket = pad_to_bucket
         builder = builder or stable_diffusion_2
@@ -64,6 +65,20 @@ class StableDiffusionInference:
         else:
             params, frozen = self.model.init_params(jax.random.key(seed),
                                                     image_size=default_size)
+            if checkpoint_path and not allow_random_frozen:
+                # trainer checkpoints carry only the TRAINABLE params —
+                # never the frozen VAE/CLIP towers. Restoring a checkpoint
+                # over randomly initialized towers decodes every request
+                # through a random VAE conditioned on a random text encoder:
+                # silent garbage. Real deployments must pair the checkpoint
+                # with ported pretrained weights for the frozen towers.
+                raise RuntimeError(
+                    "checkpoint_path given but the frozen VAE/text-encoder "
+                    "towers are randomly initialized (the checkpoint only "
+                    "restores the trainable UNet params). Pass "
+                    "pretrained=True with model_name=<ported-weights dir> "
+                    "(tools/port_weights.py), or allow_random_frozen=True "
+                    "for CI/smoke serving where garbage images are fine.")
         if checkpoint_path:
             from diffusion_tpu.train.checkpoint import load_checkpoint
             dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
@@ -142,6 +157,7 @@ class StableDiffusionInference:
                      else (list(negative) if negative else None))  # [] = none
         if negatives is not None and len(negatives) != len(prompts):
             raise ValueError("negative_prompt count != prompt count")
+        steps = int(inputs.get("num_inference_steps", 50))
         image = inputs.get("image")
         init_images = None
         masks = None
@@ -157,6 +173,14 @@ class StableDiffusionInference:
             strength = float(inputs.get("strength", 0.8))
             if not 0.0 < strength <= 1.0:
                 raise ValueError(f"strength must be in (0, 1], got {strength}")
+            # canonicalize: the device program depends on strength only
+            # through init_timestep = int(steps * strength) (generate's
+            # t_start), so fold equivalent floats (0.8 vs 0.801 at 50 steps)
+            # into ONE batch bucket and ONE multi-minute XLA compile —
+            # same rule _normalize_scheduler applies to sampler names.
+            # (k + 0.5)/steps round-trips: int(steps * that) == k.
+            init_t = min(int(steps * strength), steps)
+            strength = min(1.0, (init_t + 0.5) / steps)
             m = inputs.get("mask")
             if m:
                 # inpainting: grayscale base64, white = regenerate
@@ -167,7 +191,7 @@ class StableDiffusionInference:
             raise ValueError("strength requires an image (img2img)")
         elif inputs.get("mask"):
             raise ValueError("mask (inpainting) requires an image")
-        key = (int(inputs.get("num_inference_steps", 50)),
+        key = (steps,
                int(inputs.get("height", default_size)),
                int(inputs.get("width", default_size)),
                float(inputs.get("guidance_scale", 7.5)),

@@ -192,7 +192,17 @@ def make_server(endpoint: StableDiffusionInference, host: str = "0.0.0.0",
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", default=None)
-    p.add_argument("--model-name", default=None)
+    p.add_argument("--model-name", default=None,
+                   help="ported-HF-weights dir (tools/port_weights.py); "
+                        "pair with --pretrained so the frozen VAE/CLIP "
+                        "towers are real")
+    p.add_argument("--pretrained", action="store_true",
+                   help="load --model-name as pretrained weights (required "
+                        "for real serving: a trainer --checkpoint restores "
+                        "only the UNet, never the frozen towers)")
+    p.add_argument("--allow-random-frozen", action="store_true",
+                   help="serve a checkpoint over RANDOM frozen towers "
+                        "(CI/smoke only — images are garbage)")
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
@@ -206,9 +216,11 @@ def main() -> None:
     args = p.parse_args()
     from diffusion_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache(args.compile_cache)
-    endpoint = StableDiffusionInference(checkpoint_path=args.checkpoint,
-                                        model_name=args.model_name,
-                                        default_size=args.size)
+    endpoint = StableDiffusionInference(
+        checkpoint_path=args.checkpoint, model_name=args.model_name,
+        pretrained=args.pretrained,
+        allow_random_frozen=args.allow_random_frozen,
+        default_size=args.size)
     server = make_server(endpoint, args.host, args.port,
                          max_batch_size=args.max_batch_size,
                          batch_wait_ms=args.batch_wait_ms)

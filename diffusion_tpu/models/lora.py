@@ -62,15 +62,28 @@ def merge_lora(base: Dict[str, Any], lora: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def fold_lora(variables: Dict[str, Any],
-              alpha: Optional[float] = None) -> Dict[str, Any]:
+              alpha: Optional[float] = None,
+              config: Any = None) -> Dict[str, Any]:
     """Bake every adapter into its base kernel and drop the LoRA params.
 
     W' = W + (alpha/r)·A@B — exact for Dense projections (LoRA's deployment
     form), so the folded tree applied through a rank-0 UNet reproduces the
-    adapter model bit-for-bit up to one extra rounding. `alpha` must match
-    the model's `lora_alpha` (None = rank, i.e. scale 1.0), mirroring
-    models/layers.py Attention._lora.
+    adapter model bit-for-bit up to one extra rounding.
+
+    The scale MUST match what the model trained with (models/layers.py
+    Attention._lora). Prefer passing the UNet `config` (or the model's
+    `unet.config`) — its `lora_alpha` is the authoritative value; a bare
+    `alpha` default of None means "lora_alpha was unset" (scale 1.0), and
+    silently folding a half/double-strength adapter is exactly the bug
+    that invites. `alpha` and a conflicting `config` raise.
     """
+    if config is not None:
+        cfg_alpha = getattr(config, "lora_alpha", None)
+        if alpha is not None and cfg_alpha is not None \
+                and float(alpha) != float(cfg_alpha):
+            raise ValueError(
+                f"alpha={alpha} conflicts with config.lora_alpha={cfg_alpha}")
+        alpha = cfg_alpha if alpha is None else alpha
     flat = dict(traverse_util.flatten_dict(variables))
     folded = dict(flat)
     for key in flat:

@@ -215,16 +215,21 @@ class StableDiffusion:
         return self.loss(self.forward(params, frozen, batch, rng))
 
     # ---------------- generation ----------------
+    def _empty_prompt_ids(self, batch: int, length: int) -> jnp.ndarray:
+        """Token ids of the empty prompt: BOS + EOS + padding (the CFG
+        unconditional row when no negative prompt is given)."""
+        pad = getattr(self.tokenizer, "pad_token_id", 0)
+        bos = getattr(self.tokenizer, "bos_token_id", 0)
+        eos = getattr(self.tokenizer, "eos_token_id", 0)
+        ids = jnp.full((batch, length), pad, jnp.int32)
+        return ids.at[:, 0].set(bos).at[:, 1].set(eos)
+
     def embed_prompts(self, frozen: Dict, prompt_ids: jnp.ndarray,
                       negative_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """(uncond, cond) embeddings stacked 2x-batch for CFG (ref :336-345)."""
         if negative_ids is None:
-            # empty prompt = BOS + EOS + padding
-            pad = getattr(self.tokenizer, "pad_token_id", 0)
-            bos = getattr(self.tokenizer, "bos_token_id", 0)
-            eos = getattr(self.tokenizer, "eos_token_id", 0)
-            negative_ids = jnp.full_like(prompt_ids, pad)
-            negative_ids = negative_ids.at[:, 0].set(bos).at[:, 1].set(eos)
+            negative_ids = self._empty_prompt_ids(prompt_ids.shape[0],
+                                                  prompt_ids.shape[1])
         cond = self.encode_text(frozen, prompt_ids)
         uncond = self.encode_text(frozen, negative_ids)
         return jnp.concatenate([uncond, cond], axis=0)
@@ -347,13 +352,9 @@ class StableDiffusion:
             if negative_prompt_embeds is not None:
                 uncond = jnp.asarray(negative_prompt_embeds)
             else:
-                pad = getattr(self.tokenizer, "pad_token_id", 0)
-                bos = getattr(self.tokenizer, "bos_token_id", 0)
-                eos = getattr(self.tokenizer, "eos_token_id", 0)
-                empty = jnp.full((cond.shape[0], cond.shape[1]), pad,
-                                 jnp.int32)
-                empty = empty.at[:, 0].set(bos).at[:, 1].set(eos)
-                uncond = self.encode_text(frozen, empty)
+                uncond = self.encode_text(
+                    frozen, self._empty_prompt_ids(cond.shape[0],
+                                                   cond.shape[1]))
             embeddings = jnp.concatenate([uncond, cond], axis=0)
             bsz = cond.shape[0]
         else:

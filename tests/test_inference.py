@@ -145,6 +145,11 @@ def test_predict_img2img(endpoint):
     k_i25 = endpoint.batch_key(kw | {"prompt": "x", "image": b64,
                                      "strength": 0.25})
     assert k_txt != k_i50 and k_i50 != k_i25
+    # strengths that yield the same init_timestep (int(steps*s)) are ONE
+    # device program — they must share a batch bucket and a compile
+    k_i50b = endpoint.batch_key(kw | {"prompt": "x", "image": b64,
+                                      "strength": 0.501})
+    assert k_i50b == k_i50
 
     with pytest.raises(ValueError, match="strength"):
         endpoint.predict(image=b64, strength=1.5, **kw)
@@ -193,6 +198,16 @@ def test_predict_inpaint(endpoint):
     with pytest.raises(ValueError, match="mask count"):
         endpoint.predict(prompt=["a", "b"], image=[img, img],
                          mask=[halfmask], num_inference_steps=4)
+
+
+def test_checkpoint_over_random_frozen_towers_refused(tmp_path):
+    """A trainer checkpoint restores only the trainable UNet params; serving
+    it over randomly initialized frozen VAE/CLIP towers would return silent
+    garbage — the endpoint refuses unless allow_random_frozen=True."""
+    with pytest.raises(RuntimeError, match="frozen"):
+        StableDiffusionInference(builder=stable_diffusion_tiny,
+                                 default_size=32,
+                                 checkpoint_path=str(tmp_path / "ckpt"))
 
 
 def test_batcher_coalesces_concurrent_requests(endpoint):

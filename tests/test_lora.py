@@ -77,6 +77,20 @@ def test_fresh_adapter_is_base_model(lora_sd):
                                   np.asarray(base_only))
 
 
+def test_fold_lora_config_alpha(lora_sd):
+    """fold_lora(config=...) reads the authoritative lora_alpha from the
+    UNet config (the trained scale), and a conflicting explicit alpha is
+    rejected instead of silently mis-scaling the fold."""
+    model, params, frozen = lora_sd
+    full = model.unet_variables(params, frozen)
+    via_cfg = fold_lora(full, config=model.unet.config)
+    via_alpha = fold_lora(full, alpha=model.unet.config.lora_alpha)
+    jax.tree.map(np.testing.assert_array_equal, via_cfg, via_alpha)
+    cfg = dataclasses.replace(model.unet.config, lora_alpha=8.0)
+    with pytest.raises(ValueError, match="conflicts"):
+        fold_lora(full, alpha=2.0, config=cfg)
+
+
 def test_fold_lora_exact(lora_sd):
     """With a nonzero adapter, folding W' = W + (alpha/r)AB into the base
     kernels reproduces the adapter model through a rank-0 module."""
