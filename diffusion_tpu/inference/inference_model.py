@@ -113,8 +113,10 @@ class StableDiffusionInference:
 
     def _gen_fn(self, steps: int, height: int, width: int, scale: float,
                 n_per: int = 1, scheduler: Optional[str] = None,
-                strength: Optional[float] = None):
-        key = (steps, height, width, scale, n_per, scheduler, strength)
+                strength: Optional[float] = None,
+                guidance_rescale: float = 0.0):
+        key = (steps, height, width, scale, n_per, scheduler, strength,
+               guidance_rescale)
         if key not in self._gen_cache:
             model = self.model
             if scheduler:
@@ -136,6 +138,8 @@ class StableDiffusionInference:
             kwargs = {}
             if strength is not None:   # img2img program (static strength)
                 kwargs["strength"] = strength
+            if guidance_rescale:
+                kwargs["guidance_rescale"] = guidance_rescale
             self._gen_cache[key] = jax.jit(functools.partial(
                 model.generate, height=height, width=width,
                 guidance_scale=scale, num_inference_steps=steps,
@@ -158,6 +162,13 @@ class StableDiffusionInference:
         if negatives is not None and len(negatives) != len(prompts):
             raise ValueError("negative_prompt count != prompt count")
         steps = int(inputs.get("num_inference_steps", 50))
+        g_rescale = float(inputs.get("guidance_rescale", 0.0))
+        if not 0.0 <= g_rescale <= 1.0:
+            # range-check at parse time (a client error) — and note a
+            # negative/zero value would otherwise still key a brand-new
+            # multi-minute XLA compile of a byte-identical program
+            raise ValueError(
+                f"guidance_rescale must be in [0, 1], got {g_rescale}")
         image = inputs.get("image")
         init_images = None
         masks = None
@@ -200,7 +211,8 @@ class StableDiffusionInference:
                negatives is not None,
                self._normalize_scheduler(inputs.get("scheduler")),
                strength,   # None = text-to-image program
-               masks is not None)  # inpainting program takes a mask arg
+               masks is not None,  # inpainting program takes a mask arg
+               g_rescale)
         return prompts, negatives, (
             (init_images, masks) if init_images else None), key
 
@@ -214,10 +226,15 @@ class StableDiffusionInference:
         time (a client error), not inside the device dispatch."""
         if not requested:
             return None
-        from diffusion_tpu.models.models import canonical_scheduler_name
+        from diffusion_tpu.models.models import (_make_inference_scheduler,
+                                                 canonical_scheduler_name)
         name = canonical_scheduler_name(str(requested))
         if name == canonical_scheduler_name(self.model.inference_scheduler):
             return None
+        # construct it NOW (pure dataclass, cheap): an incompatible request
+        # — e.g. dpm++2m/euler against a rescale_betas_zero_snr deployment —
+        # must fail here as a client error, not inside the batch worker
+        _make_inference_scheduler(name, like=self.model.inference_scheduler)
         return name
 
     def batch_key(self, inputs: Dict[str, Any]) -> tuple:
@@ -267,7 +284,7 @@ class StableDiffusionInference:
             raise ValueError(
                 f"unmergeable requests: {sorted(keys, key=repr)}")
         (steps, height, width, scale, seed, n_per, has_neg, sched,
-         strength, has_mask) = parsed[0][3]
+         strength, has_mask, g_rescale) = parsed[0][3]
         prompts = [p for pr, _, _, _ in parsed for p in pr]
         negatives = ([n for _, ng, _, _ in parsed for n in ng]
                      if has_neg else None)
@@ -291,7 +308,7 @@ class StableDiffusionInference:
                 marrs += [marrs[-1]] * (padded - n)
                 gen_kwargs["mask"] = jnp.asarray(np.stack(marrs))
         images = self._gen_fn(steps, height, width, scale, n_per, sched,
-                              strength)(
+                              strength, g_rescale)(
             self.params, self.frozen, prompt_ids, negative_ids=negative_ids,
             seed=seed, **gen_kwargs)
         # jnp.repeat keeps prompt-major order: prompt i's copies occupy

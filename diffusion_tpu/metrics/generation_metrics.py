@@ -41,6 +41,9 @@ class GenerationMetricsHook:
         self.guidance_scales = [float(g) for g in guidance_scales]
         self.height, self.width = height, width
         self.num_inference_steps = num_inference_steps
+        # consulted by Trainer.eval to skip the sampling pass on evaluators
+        # whose metric_names don't include any generation metric
+        self.metric_names = tuple(metric_names)
 
         want = set(metric_names)
         self._feature_fn = None

@@ -88,7 +88,8 @@ def _make_inference_scheduler(name: str, like=None):
     kwargs = {}
     if like is not None:
         for field in ("num_train_timesteps", "beta_start", "beta_end",
-                      "beta_schedule", "prediction_type", "steps_offset"):
+                      "beta_schedule", "prediction_type", "steps_offset",
+                      "rescale_betas_zero_snr", "timestep_spacing"):
             value = getattr(like, field, None)
             if value is not None:
                 kwargs[field] = value
@@ -117,6 +118,8 @@ def stable_diffusion_2(
     train_lora_only: Optional[bool] = None,
     min_snr_gamma: Optional[float] = None,
     prediction_type: str = "epsilon",
+    rescale_betas_zero_snr: bool = False,
+    timestep_spacing: Optional[str] = None,
 ) -> StableDiffusion:
     """SD-2.0-base training setup (reference models.py:28-112).
 
@@ -146,7 +149,15 @@ def stable_diffusion_2(
     # SD2: 0.00085->0.012 scaled_linear betas. prediction_type=v_prediction
     # gives the SD2.1-768-style velocity target; _make_inference_scheduler's
     # `like=` carries it into the sampler so generate() converts correctly.
-    noise_scheduler = DDPMScheduler(prediction_type=prediction_type)
+    if timestep_spacing is None:
+        # the zero-terminal-SNR recipe's two halves ship together
+        # (arXiv:2305.08891): rescaled schedule + trailing spacing
+        timestep_spacing = ("trailing" if rescale_betas_zero_snr
+                            else "leading")
+    noise_scheduler = DDPMScheduler(
+        prediction_type=prediction_type,
+        rescale_betas_zero_snr=rescale_betas_zero_snr,
+        timestep_spacing=timestep_spacing)
     inference_scheduler = _make_inference_scheduler(inference_scheduler,
                                                     like=noise_scheduler)
 
@@ -188,6 +199,8 @@ def stable_diffusion_tiny(val_guidance_scales: Optional[List[float]] = None,
                           train_lora_only: Optional[bool] = None,
                           min_snr_gamma: Optional[float] = None,
                           prediction_type: str = "epsilon",
+                          rescale_betas_zero_snr: bool = False,
+                          timestep_spacing: Optional[str] = None,
                           **_: Any) -> StableDiffusion:
     """Tiny-geometry StableDiffusion for smoke tests / CI / CPU runs —
     real architecture, small channels (the reference's own test strategy,
@@ -216,10 +229,18 @@ def stable_diffusion_tiny(val_guidance_scales: Optional[List[float]] = None,
     return StableDiffusion(
         unet=unet, vae=vae, text_encoder=text_encoder,
         tokenizer=tiny_tokenizer(),
-        noise_scheduler=DDPMScheduler(prediction_type=prediction_type),
+        noise_scheduler=DDPMScheduler(
+            prediction_type=prediction_type,
+            rescale_betas_zero_snr=rescale_betas_zero_snr,
+            timestep_spacing=(timestep_spacing or (
+                "trailing" if rescale_betas_zero_snr else "leading"))),
         inference_scheduler=_make_inference_scheduler(
             inference_scheduler,
-            like=DDPMScheduler(prediction_type=prediction_type)),
+            like=DDPMScheduler(
+                prediction_type=prediction_type,
+                rescale_betas_zero_snr=rescale_betas_zero_snr,
+                timestep_spacing=(timestep_spacing or (
+                    "trailing" if rescale_betas_zero_snr else "leading")))),
         prediction_type=prediction_type,
         precomputed_latents=precomputed_latents,
         pretrained_path=model_name if pretrained else None,

@@ -238,8 +238,8 @@ class StableDiffusion:
                      text_embeddings: jnp.ndarray, guidance_scale: float,
                      num_inference_steps: int, t_start: int = 0,
                      inpaint: Optional[Tuple[jnp.ndarray, jnp.ndarray,
-                                             jnp.ndarray]] = None
-                     ) -> jnp.ndarray:
+                                             jnp.ndarray]] = None,
+                     guidance_rescale: float = 0.0) -> jnp.ndarray:
         """CFG denoise loop under lax.scan (ref :359-375, one compile).
 
         Works with any scheduler following the repo protocol. Multistep
@@ -280,7 +280,19 @@ class StableDiffusion:
             tt = jnp.broadcast_to(t, (model_in.shape[0],))
             pred = self.unet.apply(params, model_in, tt, text_embeddings)
             uncond, cond = jnp.split(pred, 2, axis=0)
-            return uncond + guidance_scale * (cond - uncond)
+            out = uncond + guidance_scale * (cond - uncond)
+            if guidance_rescale > 0.0:
+                # Lin et al. 2023 (arXiv:2305.08891 §3.4): CFG inflates the
+                # prediction's std; rescale toward the conditional branch's
+                # std to fix the resulting over-exposure (essential with
+                # zero-terminal-SNR v_prediction models, useful generally)
+                axes = tuple(range(1, out.ndim))
+                std_cond = jnp.std(cond, axis=axes, keepdims=True)
+                std_cfg = jnp.maximum(jnp.std(out, axis=axes, keepdims=True),
+                                      1e-12)
+                out = (guidance_rescale * (out * std_cond / std_cfg)
+                       + (1.0 - guidance_rescale) * out)
+            return out
 
         if hasattr(sched, "init_state"):
             def body(carry, xs):
@@ -321,7 +333,8 @@ class StableDiffusion:
                  rng: Optional[jax.Array] = None,
                  image: Optional[jnp.ndarray] = None,
                  strength: float = 0.8,
-                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 mask: Optional[jnp.ndarray] = None,
+                 guidance_rescale: float = 0.0) -> jnp.ndarray:
         """Text -> images in [0, 1], (B, H, W, 3). Same seed => same images
         (reference seeds a torch Generator, ref :322-326; here a jax key).
 
@@ -344,7 +357,11 @@ class StableDiffusion:
         masks are 8x8 average-pooled, so soft edges blend smoothly. After
         every denoise step the preserved region is re-imposed from the
         original latents at the step's noise level; `strength=1.0` frees
-        the masked region completely."""
+        the masked region completely.
+
+        `guidance_rescale` (0 = off) applies Lin et al. 2023's CFG std
+        rescale — pair with `rescale_betas_zero_snr` v-prediction models
+        (the paper recommends ~0.7)."""
         if rng is None:
             rng = jax.random.key(self.val_seed if seed is None else seed)
         if prompt_embeds is not None:
@@ -434,7 +451,8 @@ class StableDiffusion:
         latents = self.denoise_loop(self.unet_variables(params, frozen),
                                     latents, embeddings,
                                     guidance_scale, num_inference_steps,
-                                    t_start=t_start, inpaint=inpaint)
+                                    t_start=t_start, inpaint=inpaint,
+                                    guidance_rescale=guidance_rescale)
         images = self.vae.apply(frozen["vae"], latents / self.latent_scale,
                                 method=self.vae.decode)
         return jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)

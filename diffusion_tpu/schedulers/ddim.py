@@ -21,7 +21,8 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from diffusion_tpu.schedulers.ddpm import (make_beta_schedule,
+from diffusion_tpu.schedulers.ddpm import (alphas_cumprod_np,
+                                           make_beta_schedule,
                                            uniform_timestep_grid)
 
 __all__ = ["DDIMScheduler"]
@@ -37,12 +38,33 @@ class DDIMScheduler:
     clip_sample: bool = False
     set_alpha_to_one: bool = False
     steps_offset: int = 1
+    rescale_betas_zero_snr: bool = False
+    timestep_spacing: str = "leading"
+
+    def __post_init__(self):
+        if self.rescale_betas_zero_snr and self.prediction_type == "epsilon":
+            # at alpha-bar(T) == 0 the epsilon parameterization cannot
+            # recover x0 (division by sqrt(abar)=0) — Lin et al. 2023
+            # pairs the rescaled schedule with v_prediction
+            raise ValueError(
+                "rescale_betas_zero_snr requires prediction_type "
+                "v_prediction (or sample), not epsilon")
+        if self.rescale_betas_zero_snr and self.timestep_spacing != "trailing":
+            # the two halves of the recipe ship together: zero terminal SNR
+            # only helps if sampling actually STARTS at the pure-noise step
+            # (arXiv:2305.08891 3.2 "Sample from the Last Timestep")
+            raise ValueError(
+                "rescale_betas_zero_snr requires "
+                "timestep_spacing='trailing' so sampling starts at t=T-1 "
+                "(the zero-SNR step the rescale creates)")
 
     @property
     def alphas_cumprod(self) -> jnp.ndarray:
-        betas = make_beta_schedule(self.beta_schedule, self.num_train_timesteps,
-                                   self.beta_start, self.beta_end)
-        return jnp.asarray(np.cumprod(1.0 - betas), dtype=jnp.float32)
+        return jnp.asarray(
+            alphas_cumprod_np(self.beta_schedule, self.num_train_timesteps,
+                              self.beta_start, self.beta_end,
+                              self.rescale_betas_zero_snr),
+            dtype=jnp.float32)
 
     @property
     def final_alpha_cumprod(self) -> jnp.ndarray:
@@ -71,7 +93,8 @@ class DDIMScheduler:
         timestep the step function moves *to*; negative means "final"
         (alpha_prod = final_alpha_cumprod)."""
         return uniform_timestep_grid(self.num_train_timesteps,
-                                     num_inference_steps, self.steps_offset)
+                                     num_inference_steps, self.steps_offset,
+                                     self.timestep_spacing)
 
     def step(self, model_output: jnp.ndarray, t: jnp.ndarray, t_prev: jnp.ndarray,
              sample: jnp.ndarray) -> jnp.ndarray:

@@ -41,25 +41,56 @@ def make_beta_schedule(schedule: str, num_timesteps: int, beta_start: float,
 
 
 def alphas_cumprod_np(schedule: str, num_timesteps: int, beta_start: float,
-                      beta_end: float) -> np.ndarray:
+                      beta_end: float,
+                      rescale_zero_terminal_snr: bool = False) -> np.ndarray:
     """Cumulative product of (1 - beta) as float64 numpy — the one alpha-bar
-    table every sampler in this package derives its coefficients from."""
-    return np.cumprod(1.0 - make_beta_schedule(schedule, num_timesteps,
+    table every sampler in this package derives its coefficients from.
+
+    `rescale_zero_terminal_snr` applies Lin et al. 2023 (arXiv:2305.08891
+    alg. 1): linearly rescale sqrt(alpha-bar) so the LAST timestep has
+    alpha-bar exactly 0 (SNR 0 — the model really sees pure noise at t=T,
+    fixing the brightness/offset artifacts of the default schedule's
+    leftover signal). Requires v_prediction: at alpha-bar 0 an epsilon
+    parameterization cannot recover x0."""
+    abar = np.cumprod(1.0 - make_beta_schedule(schedule, num_timesteps,
                                                beta_start, beta_end))
+    if rescale_zero_terminal_snr:
+        s = np.sqrt(abar)
+        s0, sT = s[0], s[-1]
+        s = (s - sT) * (s0 / (s0 - sT))
+        abar = s ** 2
+    return abar
 
 
 def uniform_timestep_grid(num_train_timesteps: int, num_inference_steps: int,
-                          steps_offset: int) -> "tuple[np.ndarray, np.ndarray]":
+                          steps_offset: int,
+                          spacing: str = "leading"
+                          ) -> "tuple[np.ndarray, np.ndarray]":
     """Descending (t, t_prev) int32 arrays shared by DDIM/DPM++/Euler.
 
     t_prev[i] is the timestep the step function moves *to*; negative means
     "final". steps_offset can push the top step to num_train_timesteps (e.g.
     num_inference_steps == num_train_timesteps), which would index alpha
     tables out of range — jnp clamps silently, so clip here (diffusers clips
-    the same way)."""
+    the same way).
+
+    `spacing` (diffusers timestep_spacing): "leading" anchors the grid at
+    the low end (SD2's shipped config, top step ~T-step_ratio+offset);
+    "trailing" anchors at t = T-1 — the "Sample from the Last Timestep" half
+    of the zero-terminal-SNR recipe (arXiv:2305.08891 §3.2: the model must
+    actually be asked for the pure-noise step the rescaled schedule
+    creates)."""
     step_ratio = num_train_timesteps // num_inference_steps
-    ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1]
-    ts = ts.astype(np.int64) + steps_offset
+    if spacing == "leading":
+        ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1]
+        ts = ts.astype(np.int64) + steps_offset
+    elif spacing == "trailing":
+        ts = np.arange(num_train_timesteps, 0,
+                       -num_train_timesteps / num_inference_steps)
+        ts = ts.round().astype(np.int64) - 1
+    else:
+        raise ValueError(f"unknown timestep spacing {spacing!r}; "
+                         "choose leading or trailing")
     ts = np.minimum(ts, num_train_timesteps - 1)
     t_prev = ts - step_ratio
     return ts.astype(np.int32), t_prev.astype(np.int32)
@@ -86,6 +117,12 @@ class DDPMScheduler:
     prediction_type: str = "epsilon"
     variance_type: str = "fixed_small"
     clip_sample: bool = False
+    # Lin et al. 2023 zero-terminal-SNR rescale (alphas_cumprod_np); the
+    # t=T sample is then pure noise — pair with prediction_type=v_prediction
+    # AND timestep_spacing=trailing on the sampler
+    rescale_betas_zero_snr: bool = False
+    # recorded for the like= carry into samplers (training ignores spacing)
+    timestep_spacing: str = "leading"
 
     @property
     def betas(self) -> jnp.ndarray:
@@ -96,9 +133,11 @@ class DDPMScheduler:
 
     @property
     def alphas_cumprod(self) -> jnp.ndarray:
-        betas = make_beta_schedule(self.beta_schedule, self.num_train_timesteps,
-                                   self.beta_start, self.beta_end)
-        return jnp.asarray(np.cumprod(1.0 - betas), dtype=jnp.float32)
+        return jnp.asarray(
+            alphas_cumprod_np(self.beta_schedule, self.num_train_timesteps,
+                              self.beta_start, self.beta_end,
+                              self.rescale_betas_zero_snr),
+            dtype=jnp.float32)
 
     # needed by the shared generate() protocol (duck-typed HF interface)
     @property

@@ -75,6 +75,15 @@ class DPMSolverMultistepScheduler:
     prediction_type: str = "epsilon"
     steps_offset: int = 1
     lower_order_final: bool = True
+    rescale_betas_zero_snr: bool = False
+    timestep_spacing: str = "leading"
+
+    def __post_init__(self):
+        if self.rescale_betas_zero_snr:
+            raise ValueError(
+                "rescale_betas_zero_snr: lambda(T) = log(alpha/sigma) "
+                "diverges at zero terminal SNR — sample the rescaled "
+                "schedule with DDIM (+ v_prediction), not DPM-Solver++")
 
     @property
     def alphas_cumprod(self) -> jnp.ndarray:
@@ -99,7 +108,8 @@ class DPMSolverMultistepScheduler:
     def timesteps(self, num_inference_steps: int) -> Tuple[np.ndarray, np.ndarray]:
         """Same descending (t, t_prev) grid as DDIMScheduler.timesteps."""
         return uniform_timestep_grid(self.num_train_timesteps,
-                                     num_inference_steps, self.steps_offset)
+                                     num_inference_steps, self.steps_offset,
+                                     self.timestep_spacing)
 
     # ---- multistep state -------------------------------------------------
     def init_state(self, latents: jnp.ndarray):
@@ -181,6 +191,15 @@ class EulerDiscreteScheduler:
     beta_schedule: str = "scaled_linear"
     prediction_type: str = "epsilon"
     steps_offset: int = 1
+    rescale_betas_zero_snr: bool = False
+    timestep_spacing: str = "leading"
+
+    def __post_init__(self):
+        if self.rescale_betas_zero_snr:
+            raise ValueError(
+                "rescale_betas_zero_snr: sigma(T) is infinite at zero "
+                "terminal SNR — sample the rescaled schedule with DDIM "
+                "(+ v_prediction), not Euler")
 
     @property
     def alphas_cumprod(self) -> jnp.ndarray:
@@ -224,7 +243,8 @@ class EulerDiscreteScheduler:
 
     def timesteps(self, num_inference_steps: int) -> Tuple[np.ndarray, np.ndarray]:
         return uniform_timestep_grid(self.num_train_timesteps,
-                                     num_inference_steps, self.steps_offset)
+                                     num_inference_steps, self.steps_offset,
+                                     self.timestep_spacing)
 
     def step(self, model_output: jnp.ndarray, t, t_prev,
              sample: jnp.ndarray) -> jnp.ndarray:

@@ -66,6 +66,17 @@ def _leading_dim(batch: Mapping[str, Any]) -> int:
     return 0
 
 
+def grad_accum_steps(global_batch: int, micro_global: int) -> int:
+    """Number of grad-accumulation microbatches (Composer ceil semantics:
+    a microbatch never exceeds device_train_microbatch_size * n_devices),
+    rounded up to the next divisor of the global batch so `lax.scan` gets
+    uniform microbatch shapes."""
+    n = max(-(-global_batch // micro_global), 1)
+    while global_batch % n:
+        n += 1
+    return n
+
+
 class Trainer:
     def __init__(
         self,
@@ -318,8 +329,21 @@ class Trainer:
         frozen = self.frozen
         n_dev = mesh.size
         if self.micro_size:
+            # ceil like Composer — a microbatch must never EXCEED the
+            # configured cap (it exists to bound HBM; floor division would
+            # hand a 1.5x-cap microbatch to the device, or reshape-crash
+            # on non-multiples)
             micro_global = self.micro_size * n_dev
-            n_accum = max(global_batch // micro_global, 1)
+            n_accum = grad_accum_steps(global_batch, micro_global)
+            ideal = max(-(-global_batch // micro_global), 1)
+            if n_accum > ideal and global_batch // n_accum < micro_global // 2:
+                logging.getLogger(__name__).warning(
+                    "grad accumulation: global batch %d has no divisor near "
+                    "ceil(%d / %d) — running %d microbatches of %d (<= half "
+                    "the device_train_microbatch_size cap). Pad the batch "
+                    "size to a multiple of the microbatch for full "
+                    "utilization.", global_batch, global_batch, micro_global,
+                    n_accum, global_batch // n_accum)
         else:
             n_accum = 1
         ema_cfg = None
@@ -609,7 +633,23 @@ class Trainer:
         for evaluator in self.evaluators:
             accum: Dict[str, Tuple[float, float]] = {}
             state.eval_label = evaluator.label
-            for i, host_batch in enumerate(evaluator.dataloader):
+            # per-evaluator metric selection (reference train.py:48-59 builds
+            # composer Evaluators with their own metric_names): an evaluator
+            # that doesn't ask for a generation metric must not pay for the
+            # full sampling pass. Empty metric_names = everything.
+            hooks = [h for h in (metric_hooks or ())
+                     if not evaluator.metric_names
+                     or getattr(h, "metric_names", None) is None
+                     or any(n in evaluator.metric_names
+                            for n in h.metric_names)]
+            # every eval must score the SAME slice of the eval set: a prior
+            # subset-limited pass abandoned the loader mid-epoch and its
+            # resumable position would otherwise shift each eval's window
+            # (that persistence exists for the TRAIN loader's autoresume)
+            dl = evaluator.dataloader
+            if hasattr(dl, "load_state_dict"):
+                dl.load_state_dict({"epoch": 0, "batch_in_epoch": 0})
+            for i, host_batch in enumerate(dl):
                 if limit and limit > 0 and i >= limit:
                     break
                 state.eval_batch_idx = i
@@ -626,16 +666,14 @@ class Trainer:
                     a, b = accum.get(name, (0.0, 0.0))
                     accum[name] = (a + float(np.asarray(num)),
                                    b + float(np.asarray(den)))
-                if metric_hooks:
-                    for hook in metric_hooks:
-                        hook.eval_batch(self, evaluator, state, batch, rng)
+                for hook in hooks:
+                    hook.eval_batch(self, evaluator, state, batch, rng)
                 self.engine.run(Event.EVAL_BATCH_END, state, logger)
             for name, (num, den) in accum.items():
                 if den > 0:
                     results[f"metrics/{evaluator.label}/{name}"] = num / den
-            if metric_hooks:
-                for hook in metric_hooks:
-                    results.update(hook.eval_end(self, evaluator, state))
+            for hook in hooks:
+                results.update(hook.eval_end(self, evaluator, state))
         logger.log_metrics(results, step=state.timestamp.batch)
         self.engine.run(Event.EVAL_END, state, logger)
         return results
@@ -703,12 +741,14 @@ class Trainer:
     def _maybe_restore(self, autoresume: bool, load_path: Optional[str],
                        load_weights_only: bool) -> None:
         path = None
+        from_save_folder = False
         if autoresume and self.save_folder:
             if self.save_remote:
                 # fresh host: the newest checkpoint may only exist remotely
                 ckpt.sync_from_remote(self.save_folder, self.save_remote)
                 dist.barrier("ckpt_remote_sync")
             path = ckpt.latest_checkpoint_path(self.save_folder)
+            from_save_folder = path is not None
         if path is None and load_path:
             path = load_path
         if path is None:
@@ -719,13 +759,30 @@ class Trainer:
             abstract = self._abstract_train_state()
             restored, meta = ckpt.load_checkpoint(
                 path, {"params": abstract.params}, partial=True)
+            new_ema = self.train_state.ema_params
+            if new_ema is not None:
+                # the EMA was seeded from the pre-restore init weights —
+                # re-copy from the LOADED params, or every update blends
+                # toward the discarded initialization for ~half_life batches
+                # (and EMA-active checkpoints would ship those weights)
+                new_ema = jax.jit(
+                    lambda p: jax.tree.map(jnp.copy, p),
+                    out_shardings=(None if self._plain
+                                   else self.params_shardings))(
+                    restored["params"])
             self.train_state = self.train_state.replace(
-                params=restored["params"])
+                params=restored["params"], ema_params=new_ema)
             self.state.train_state = self.train_state
             return
         restored, meta = ckpt.load_checkpoint(path, self._abstract_train_state())
         self.train_state = restored
         self.state.timestamp.load_state_dict(meta.get("timestamp", {}))
+        if from_save_folder:
+            # this batch's checkpoint is the one just restored: a rerun of
+            # an already-complete fit must not re-save it (save_overwrite=
+            # False would crash; True would delete-and-rewrite the only
+            # final checkpoint, a durability hole if preempted mid-write)
+            self._last_saved_batch = self.state.timestamp.batch
         for a in self.engine.algorithms:
             a.load_state_dict(meta.get("algorithms", {}).get(type(a).__name__, {}))
         for c in self.engine.callbacks:

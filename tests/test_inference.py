@@ -200,6 +200,29 @@ def test_predict_inpaint(endpoint):
                          mask=[halfmask], num_inference_steps=4)
 
 
+def test_guidance_rescale_serving():
+    """guidance_rescale: range-checked at parse time, keys the compiled
+    program, and a ztsnr deployment rejects incompatible per-request
+    samplers at parse time (client error), not in the batch worker."""
+    endpoint = StableDiffusionInference(builder=stable_diffusion_tiny,
+                                        default_size=32, seed=0)
+    kw = dict(prompt="a fox", num_inference_steps=2, guidance_scale=3.0)
+    out = endpoint.predict(guidance_rescale=0.7, **kw)
+    assert _decode_png(out[0]).shape == (32, 32, 3)
+    assert out != endpoint.predict(**kw)   # the rescale changed the program
+    with pytest.raises(ValueError, match="guidance_rescale"):
+        endpoint.predict(guidance_rescale=1.5, **kw)
+    with pytest.raises(ValueError, match="guidance_rescale"):
+        endpoint.batch_key(kw | {"guidance_rescale": -0.1})
+
+    ztsnr = StableDiffusionInference(builder=stable_diffusion_tiny,
+                                     default_size=32, seed=0,
+                                     prediction_type="v_prediction",
+                                     rescale_betas_zero_snr=True)
+    with pytest.raises(ValueError, match="DDIM"):
+        ztsnr.batch_key(kw | {"scheduler": "dpm++2m"})  # parse-time error
+
+
 def test_checkpoint_over_random_frozen_towers_refused(tmp_path):
     """A trainer checkpoint restores only the trainable UNet params; serving
     it over randomly initialized frozen VAE/CLIP towers would return silent

@@ -228,6 +228,31 @@ def test_prediction_type_builder_knob():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_zero_terminal_snr_v_prediction_generates():
+    """The full SD2.1-style recipe — v_prediction + rescale_betas_zero_snr
+    + guidance_rescale — composes from the builder and samples finite [0,1]
+    images; guidance_rescale actually changes the trajectory."""
+    from diffusion_tpu.models.models import stable_diffusion_tiny
+    m = stable_diffusion_tiny(prediction_type="v_prediction",
+                              rescale_betas_zero_snr=True)
+    assert m.noise_scheduler.rescale_betas_zero_snr
+    assert m.inference_scheduler.rescale_betas_zero_snr
+    # the builder ships both halves of the recipe: trailing spacing so
+    # sampling starts at the zero-SNR step the rescale creates
+    assert m.inference_scheduler.timestep_spacing == "trailing"
+    assert float(m.inference_scheduler.alphas_cumprod[-1]) == 0.0
+    params, frozen = m.init_params(jax.random.key(0), image_size=32)
+    ids = jnp.asarray(m.tokenizer(["a cute cat"])["input_ids"])
+    kw = dict(height=32, width=32, guidance_scale=3.0,
+              num_inference_steps=4, seed=0)
+    out = np.asarray(m.generate(params, frozen, ids, **kw))
+    assert np.isfinite(out).all() and out.min() >= 0.0 and out.max() <= 1.0
+    rescaled = np.asarray(m.generate(params, frozen, ids,
+                                     guidance_rescale=0.7, **kw))
+    assert np.isfinite(rescaled).all()
+    assert np.abs(rescaled - out).max() > 0
+
+
 def test_inference_scheduler_builder_knob():
     """yaml surface: model.inference_scheduler selects the sampler; unknown
     names fail fast with the choices listed."""

@@ -403,3 +403,61 @@ def test_dpm_lower_order_final_gated_on_short_runs():
     np.testing.assert_allclose(np.asarray(short), np.asarray(first_order),
                                rtol=1e-5, atol=1e-6)
     assert np.abs(np.asarray(long_) - np.asarray(short)).max() > 1e-4
+
+
+def test_zero_terminal_snr_rescale():
+    """Lin et al. 2023 (arXiv:2305.08891 alg. 1): the rescaled alpha-bar
+    table has EXACTLY zero terminal SNR (abar[-1] == 0, the model truly
+    sees pure noise at t=T) while the first step keeps its alpha-bar; the
+    default table keeps its leftover signal (the artifact being fixed)."""
+    from diffusion_tpu.schedulers.ddpm import alphas_cumprod_np
+    plain = alphas_cumprod_np("scaled_linear", 1000, 0.00085, 0.012)
+    fixed = alphas_cumprod_np("scaled_linear", 1000, 0.00085, 0.012,
+                              rescale_zero_terminal_snr=True)
+    assert plain[-1] > 1e-4                      # leftover signal
+    assert abs(fixed[-1]) < 1e-12                # exactly zero SNR
+    np.testing.assert_allclose(fixed[0], plain[0], rtol=1e-12)
+    assert np.all(np.diff(fixed) < 0)            # still monotone decreasing
+
+
+def test_zero_terminal_snr_sampler_guards():
+    """The rescaled schedule is only samplable by DDIM with a non-epsilon
+    parameterization: epsilon-DDIM and the sigma/lambda-space samplers
+    reject it loudly instead of dividing by zero."""
+    from diffusion_tpu.schedulers import (DDIMScheduler,
+                                          DPMSolverMultistepScheduler,
+                                          EulerDiscreteScheduler)
+    ok = DDIMScheduler(prediction_type="v_prediction",
+                       rescale_betas_zero_snr=True,
+                       timestep_spacing="trailing")
+    assert float(ok.alphas_cumprod[-1]) == 0.0
+    # trailing spacing actually SAMPLES the zero-SNR step the rescale made
+    ts, _ = ok.timesteps(50)
+    assert ts[0] == 999
+    with pytest.raises(ValueError, match="v_prediction"):
+        DDIMScheduler(rescale_betas_zero_snr=True,
+                      timestep_spacing="trailing")  # epsilon default
+    with pytest.raises(ValueError, match="trailing"):
+        DDIMScheduler(prediction_type="v_prediction",
+                      rescale_betas_zero_snr=True)  # leading default
+    with pytest.raises(ValueError, match="DDIM"):
+        EulerDiscreteScheduler(prediction_type="v_prediction",
+                               rescale_betas_zero_snr=True)
+    with pytest.raises(ValueError, match="DDIM"):
+        DPMSolverMultistepScheduler(prediction_type="v_prediction",
+                                    rescale_betas_zero_snr=True)
+
+
+def test_timestep_spacing_trailing_grid():
+    """diffusers timestep_spacing parity: leading anchors low (SD2 default,
+    top step 981 at 50 steps), trailing anchors at t=T-1 (arXiv:2305.08891
+    "Sample from the Last Timestep")."""
+    from diffusion_tpu.schedulers.ddpm import uniform_timestep_grid
+    lead, lead_prev = uniform_timestep_grid(1000, 50, 1, "leading")
+    trail, trail_prev = uniform_timestep_grid(1000, 50, 1, "trailing")
+    assert lead[0] == 981 and lead[-1] == 1
+    assert trail[0] == 999 and trail[-1] == 19
+    assert len(trail) == 50 and np.all(np.diff(trail) < 0)
+    assert trail_prev[-1] < 0          # terminal step is still "final"
+    with pytest.raises(ValueError, match="leading or trailing"):
+        uniform_timestep_grid(1000, 50, 1, "nope")

@@ -463,3 +463,142 @@ def test_interrupted_overwrite_not_autoresumed(tmp_path, monkeypatch):
         ckpt.save_checkpoint(folder, 5, state)
     # marker gone first => discovery skips the partial dir
     assert ckpt.latest_checkpoint_path(folder) is None
+
+
+def test_grad_accum_steps_ceil_semantics():
+    """Microbatches never exceed device_train_microbatch_size * n_devices
+    (Composer ceil semantics) and always divide the global batch evenly
+    (lax.scan needs uniform shapes). The old floor division handed a
+    1.5x-cap microbatch to the device (768/512) or reshape-crashed (100/32)."""
+    from diffusion_tpu.train.trainer import grad_accum_steps
+    for global_batch, micro_global in [(768, 512), (100, 32), (40, 16),
+                                       (8, 16), (2048, 128), (10, 3),
+                                       (101, 32)]:
+        n = grad_accum_steps(global_batch, micro_global)
+        assert global_batch % n == 0, (global_batch, micro_global, n)
+        assert global_batch // n <= micro_global, (global_batch,
+                                                   micro_global, n)
+    assert grad_accum_steps(2048, 128) == 16   # exact multiple unchanged
+    assert grad_accum_steps(768, 512) == 2     # ceil, not floor(=1)
+    assert grad_accum_steps(8, 16) == 1        # batch under the cap
+
+
+def test_load_weights_only_reseeds_ema(trained):
+    """load_weights_only must re-copy the LOADED params into ema_params —
+    otherwise the EMA starts as the discarded random init and poisons
+    EMA-active checkpoints for ~half_life batches (review finding)."""
+    from diffusion_tpu.train import checkpoint as ckpt
+    _, _, save, _ = trained
+    latest = ckpt.latest_checkpoint_path(save)
+    tr2 = Trainer(
+        model=tiny_stable_diffusion(),
+        train_dataloader=make_loader(),
+        optimizers=adamw(lr=1e-3),
+        algorithms=[EMA(half_life="2ba", update_interval="1ba",
+                        ema_start="0ba")],
+        max_duration="1ba", image_size=SIZE,
+        load_path=latest, load_weights_only=True,
+        fsdp_config={"min_params": 0},
+    )
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     tr2.train_state.params, tr2.train_state.ema_params)
+    assert max(jax.tree.leaves(d)) == 0.0
+
+
+@pytest.mark.slow
+def test_rerun_of_complete_fit_is_a_noop(tmp_path):
+    """Autoresume restoring AT max_duration must not re-save the final
+    checkpoint: save_overwrite=False would crash, True would delete-and-
+    rewrite the only final checkpoint (durability hole if preempted)."""
+    from diffusion_tpu.train import checkpoint as ckpt
+    save = str(tmp_path / "ckpts")
+    kw = dict(model=tiny_stable_diffusion(), optimizers=adamw(lr=1e-3),
+              max_duration="2ba", image_size=SIZE, save_folder=save,
+              save_interval="1ba", autoresume=True)
+    Trainer(train_dataloader=make_loader(n_batches=2), **kw).fit()
+    latest = ckpt.latest_checkpoint_path(save)
+    assert latest.endswith("ba2")
+    mtime = os.path.getmtime(os.path.join(latest, "meta.json"))
+    tr2 = Trainer(train_dataloader=make_loader(n_batches=2),
+                  save_overwrite=False, **kw)
+    tr2.fit()  # restored at ba2 == max: no steps, and no re-save
+    assert ckpt.latest_checkpoint_path(save) == latest
+    assert os.path.getmtime(os.path.join(latest, "meta.json")) == mtime
+
+
+class _IndexedDataset:
+    """Tiny map-style dataset with the StreamingDataset loader contract."""
+
+    def __init__(self, n=16, size=SIZE):
+        self.n, self.size = n, size
+
+    def __len__(self):
+        return self.n
+
+    def partition(self, epoch, rank, world):
+        return np.arange(self.n)[rank::world]
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(int(idx))
+        return {
+            "image": rng.uniform(-1, 1, (self.size, self.size, 3))
+                     .astype(np.float32),
+            "captions": rng.integers(0, 500, (77,)).astype(np.int32),
+        }
+
+
+def test_eval_scores_same_slice_every_time():
+    """eval_subset_num_batches abandons the eval DataLoader mid-epoch; its
+    resumable position (a TRAIN-loader autoresume feature) must not shift
+    the window — every eval pass scores the same data (review finding)."""
+    from diffusion_tpu.data.dataloader import DataLoader
+    # big enough that the abandoned position does NOT wrap to a fresh epoch
+    # (which would mask the drift on an epoch-independent partition)
+    dl = DataLoader(_IndexedDataset(n=64), batch_size=8, num_workers=1)
+    tr = Trainer(
+        model=tiny_stable_diffusion(),
+        eval_dataloader=[Evaluator("e", dl, ("MeanSquaredError",))],
+        image_size=SIZE, max_duration="1ba",
+        eval_subset_num_batches=1,
+    )
+    r1 = tr.eval()
+    r2 = tr.eval()
+    assert r1 == r2  # same slice + same per-batch rng => identical numbers
+    tr.close()
+
+
+def test_eval_hooks_respect_evaluator_metric_names():
+    """Per-evaluator metric_names select which generation-metric hooks run
+    (reference train.py:48-59 composer Evaluators): an MSE-only evaluator
+    must not pay for the sampling pass (review finding: metric_names was
+    stored but never consulted)."""
+    class FakeHook:
+        metric_names = ("FrechetInceptionDistance",)
+
+        def __init__(self):
+            self.seen = []
+
+        def eval_batch(self, trainer, evaluator, state, batch, rng):
+            self.seen.append(evaluator.label)
+
+        def eval_end(self, trainer, evaluator, state):
+            return {f"metrics/{evaluator.label}/fake": 1.0}
+
+    hook = FakeHook()
+    tr = Trainer(
+        model=tiny_stable_diffusion(),
+        eval_dataloader=[
+            Evaluator("mse-only", make_loader(n_batches=1, bsz=4),
+                      ("MeanSquaredError",)),
+            Evaluator("with-fid", make_loader(n_batches=1, bsz=4),
+                      ("MeanSquaredError", "FrechetInceptionDistance")),
+            Evaluator("everything", make_loader(n_batches=1, bsz=4)),
+        ],
+        image_size=SIZE, max_duration="1ba",
+    )
+    tr.metric_hooks = [hook]
+    results = tr.eval()
+    # the FID hook ran only where asked for (or where nothing was pinned)
+    assert set(hook.seen) == {"with-fid", "everything"}
+    assert "metrics/with-fid/fake" in results
+    assert "metrics/mse-only/fake" not in results
