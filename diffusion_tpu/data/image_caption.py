@@ -20,8 +20,7 @@ from PIL import Image
 
 from diffusion_tpu.data.dataloader import DataLoader
 from diffusion_tpu.data.streaming import Stream, StreamingDataset
-from diffusion_tpu.data.transforms import (LargestCenterSquare,
-                                           SDSquareNormalize, sd_normalize)
+from diffusion_tpu.data.transforms import SDSquareNormalize
 from diffusion_tpu.text.tokenizer import CLIPTokenizer, tiny_tokenizer
 
 __all__ = ["StreamingImageCaptionDataset", "build_streaming_image_caption_dataloader"]
@@ -60,6 +59,11 @@ class StreamingImageCaptionDataset(StreamingDataset):
         if isinstance(raw, Image.Image):
             img = raw
         else:
+            # same tolerance as the wds decode path (datapipes.decode_sample;
+            # reference wds_datapipe.py:31): a truncated JPEG in a
+            # web-scraped shard must not kill the whole fit
+            from PIL import ImageFile
+            ImageFile.LOAD_TRUNCATED_IMAGES = True
             img = Image.open(io.BytesIO(raw))
             # decode at a reduced DCT scale when the source is much larger
             # than the train resolution (libjpeg 1/2..1/8 scaling) — the
@@ -125,6 +129,10 @@ def build_streaming_image_caption_dataloader(
     remotes = [remote] if isinstance(remote, str) else list(remote)
     locals_ = ([local] if isinstance(local, str) else list(local)) \
         if local else [None] * len(remotes)
+    if len(locals_) != len(remotes):
+        # zip() would silently truncate and train on a subset of the streams
+        raise ValueError(f"got {len(remotes)} remotes but {len(locals_)} "
+                         f"locals — the lists must pair 1:1")
     streams = [Stream(r, l) for r, l in zip(remotes, locals_)]
     dataset = StreamingImageCaptionDataset(
         streams=streams, shuffle=shuffle,

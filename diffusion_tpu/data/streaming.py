@@ -13,10 +13,12 @@ SURVEY.md §2.2). Differences are intentional simplifications, documented here:
   interleaved sample-by-sample. This has streaming's two key properties —
   determinism given (seed, epoch) and shard-locality of reads — without its
   exact permutation (we do not need bit-compat resumption with the reference).
-- Partition: rank r of R (R = hosts x workers) takes every R-th sample of the
-  epoch order -> disjoint, complete, balanced to within one sample.
-- Resumption: `state_dict()/load_state_dict()` captures (epoch,
-  sample_in_epoch) like streaming's loader-position checkpointing.
+- Partition: the epoch order is padded (leading samples repeated) to a
+  multiple of R, then rank r of R takes every R-th sample -> complete,
+  EQUAL-LENGTH per rank (a multi-host liveness requirement), disjoint
+  except for the <R padding repeats.
+- Resumption lives on the DataLoader (dataloader.py state_dict/
+  load_state_dict: epoch + batch position), which the Trainer checkpoints.
 
 Downloads happen lazily per shard with retry/timeout semantics matching the
 reference's knobs. The reference's `predownload` (samples fetched ahead of
@@ -58,9 +60,24 @@ class Stream:
                  proportion: Optional[float] = None):
         if remote is None and local is None:
             raise ValueError("Stream needs remote and/or local")
+        if proportion is not None:
+            # honesty over silent acceptance: the streaming reader walks
+            # every stream's full epoch uniformly — proportion-weighted
+            # epochs are served by the weighted mixer (data/mix.py
+            # build_mix_dataloader weight=...), not here
+            raise ValueError(
+                "Stream(proportion=...) is not supported by this reader; "
+                "mix weighted sources with data/mix.py instead")
         self.remote = remote
+        if local is None and remote and remote.startswith(("s3://", "gs://")):
+            # a bucket URI is not a filesystem path — cache under a
+            # deterministic tmp dir instead of creating './s3:/bucket/...'
+            import hashlib
+            import tempfile
+            key = hashlib.sha1(remote.encode()).hexdigest()[:12]
+            local = os.path.join(tempfile.gettempdir(),
+                                 "diffusion_tpu_streams", key)
         self.local = local or remote
-        self.proportion = proportion
 
     def ensure_index(self, store: ObjectStore) -> str:
         """Make sure index.json exists locally; returns the local dir."""
@@ -128,8 +145,6 @@ class StreamingDataset:
         self.num_samples = self._shard_cum[-1]
         self._readers: Dict[int, MDSShardReader] = {}
         self._lock = threading.Lock()
-        self._epoch = 0
-        self._sample_in_epoch = 0
 
     # ---- sample access -------------------------------------------------
     def _reader(self, flat_shard: int) -> MDSShardReader:
@@ -300,8 +315,22 @@ class StreamingDataset:
         return flat[flat >= 0]
 
     def partition(self, epoch: int, rank: int, world: int) -> np.ndarray:
-        """Disjoint, complete split of the epoch order across ranks."""
+        """Equal-length, complete split of the epoch order across ranks.
+
+        Every rank gets EXACTLY ceil(n/world) samples — when world doesn't
+        divide n, the first (padded - n) samples of the epoch order are
+        repeated (mosaicml-streaming's padding semantics). Equal lengths are
+        a hard multi-host requirement: each host's Trainer iterates its own
+        loader until exhaustion, so one rank holding one extra batch would
+        dispatch a train step whose cross-host collectives never complete —
+        the pod deadlocks at the epoch boundary. Disjoint except for those
+        <world repeated samples."""
         order = self.epoch_order(epoch)
+        per_rank = max(-(-len(order) // world), 1)
+        padded = per_rank * world
+        if padded != len(order):
+            reps = -(-padded // max(len(order), 1))
+            order = np.tile(order, reps)[:padded]
         return order[rank::world]
 
     # ---- pickling (process-pool decode workers) --------------------------
@@ -317,10 +346,4 @@ class StreamingDataset:
         self.__dict__.update(state)
         self._lock = threading.Lock()
 
-    # ---- resumable position ---------------------------------------------
-    def state_dict(self) -> Dict[str, int]:
-        return {"epoch": self._epoch, "sample_in_epoch": self._sample_in_epoch}
 
-    def load_state_dict(self, d: Dict[str, int]) -> None:
-        self._epoch = int(d.get("epoch", 0))
-        self._sample_in_epoch = int(d.get("sample_in_epoch", 0))

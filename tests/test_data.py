@@ -160,14 +160,24 @@ def test_streaming_dataset_access_and_order(tmp_path):
     assert sorted(o1.tolist()) == list(range(25))    # a permutation
 
 
-def test_streaming_partition_disjoint_complete(tmp_path):
+def test_streaming_partition_equal_complete(tmp_path):
+    """Every rank gets EXACTLY the same sample count (multi-host liveness:
+    one extra batch on one host would hang the pod in a collective) via
+    mosaicml-style padding; coverage stays complete and duplication is
+    bounded by the <world padding repeats."""
     out = make_mds(tmp_path)
     ds = StreamingDataset(local=out, shuffle=True, num_canonical_nodes=2)
-    parts = [ds.partition(0, r, 4) for r in range(4)]
+    parts = [ds.partition(0, r, 4) for r in range(4)]   # 25 % 4 != 0
+    assert len({len(p) for p in parts}) == 1            # equal lengths
     all_ids = np.concatenate(parts)
-    assert len(all_ids) == 25
-    assert len(set(all_ids.tolist())) == 25          # disjoint + complete
-    assert max(len(p) for p in parts) - min(len(p) for p in parts) <= 1
+    assert len(all_ids) == 28                            # ceil(25/4)*4
+    assert set(all_ids.tolist()) == set(range(25))       # complete
+    # at most world-1 repeated ids (the padding)
+    assert len(all_ids) - len(set(all_ids.tolist())) <= 3
+    # divisible case: exactly disjoint + complete
+    parts5 = [ds.partition(0, r, 5) for r in range(5)]
+    ids5 = np.concatenate(parts5)
+    assert len(ids5) == 25 and len(set(ids5.tolist())) == 25
 
 
 def test_streaming_remote_download(tmp_path):
