@@ -117,8 +117,20 @@ class _Subset:
         return self.dataset[idx]
 
     def partition(self, epoch: int, rank: int, world: int) -> np.ndarray:
+        # filtering by id alone would give ranks different lengths (which
+        # ids survive varies per rank) — the same multi-host batch-count
+        # divergence StreamingDataset.partition pads away. Normalize every
+        # rank to exactly ceil(num_samples/world) ids: cycle-pad short
+        # ranks (torch DistributedSampler semantics), truncate long ones.
         ids = self.dataset.partition(epoch, rank, world)
-        return ids[ids < self.num_samples]
+        ids = ids[ids < self.num_samples]
+        per_rank = max(-(-self.num_samples // world), 1)
+        if len(ids) < per_rank:
+            fill = ids if len(ids) else np.arange(
+                min(self.num_samples, per_rank), dtype=np.int64)
+            reps = -(-(per_rank - len(ids)) // len(fill))
+            ids = np.concatenate([ids, np.tile(fill, reps)])
+        return ids[:per_rank]
 
     def __getattr__(self, name: str):
         return getattr(self.dataset, name)

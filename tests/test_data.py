@@ -480,3 +480,25 @@ def test_process_worker_loader_matches_thread(tmp_path):
     for tb, pb in zip(thread_b, proc_b):
         np.testing.assert_array_equal(tb["image"], pb["image"])
         np.testing.assert_array_equal(tb["captions"], pb["captions"])
+
+
+def test_laion_subset_partition_equal_lengths(tmp_path):
+    """num_samples subsetting must keep per-rank lengths EQUAL after
+    filtering (which ids survive the < num_samples cut varies per rank) —
+    unequal batch counts deadlock a multi-host pod (same invariant as
+    StreamingDataset.partition)."""
+    from diffusion_tpu.data.laion import _Subset
+    out = make_mds(tmp_path)
+    ds = StreamingDataset(local=out, shuffle=True, num_canonical_nodes=2)
+    sub = _Subset(ds, num_samples=10)           # of 25
+    for world in (2, 3, 4, 8):
+        parts = [sub.partition(0, r, world) for r in range(world)]
+        assert len({len(p) for p in parts}) == 1, world
+        assert len(parts[0]) == -(-10 // world), world
+        for p in parts:
+            assert (np.asarray(p) < 10).all()
+    # degenerate: more ranks than samples still gives every rank >= 1 id
+    tiny = _Subset(ds, num_samples=2)
+    parts = [tiny.partition(0, r, 8) for r in range(8)]
+    assert all(len(p) == 1 for p in parts)
+    assert all(int(p[0]) < 2 for p in parts)
