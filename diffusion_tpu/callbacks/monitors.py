@@ -109,11 +109,17 @@ class RuntimeEstimator(Callback):
         self._max_batches: Optional[int] = None
 
     def fit_start(self, state, logger):
-        try:
-            self._max_batches = time_to_batches(state.max_duration,
-                                                state.max_duration)
-        except ValueError:
-            self._max_batches = None
+        # the Trainer already computed max_batches (with scale_schedule_ratio
+        # and real batches_per_epoch for 'ep'/'dur' durations) — re-deriving
+        # it here without batches_per_epoch silently disabled the ETA on
+        # epoch-denominated runs
+        self._max_batches = getattr(state, "max_batches", None)
+        if self._max_batches is None:
+            try:
+                self._max_batches = time_to_batches(state.max_duration,
+                                                    state.max_duration)
+            except ValueError:
+                self._max_batches = None
 
     def batch_end(self, state, logger):
         if state.batch_wct > 0:  # 0 marks the compile-contaminated first batch
@@ -144,9 +150,16 @@ class OptimizerMonitor(Callback):
         if m and "grad/global_norm" in m:
             metrics["l2_norm/grad/global"] = float(np.asarray(m["grad/global_norm"]))
         if self.log_optimizer_metrics:
-            import optax
+            # one fused jitted program (eager optax.global_norm dispatches a
+            # kernel per param leaf — hundreds for the SD2 UNet). Note this
+            # still synchronizes on the in-flight step at the fetch, which
+            # is inherent to logging a fresh value at interval batches.
+            if not hasattr(self, "_gnorm_fn"):
+                import jax
+                import optax
+                self._gnorm_fn = jax.jit(optax.global_norm)
             metrics["l2_norm/param/global"] = float(np.asarray(
-                optax.global_norm(state.train_state.params)))
+                self._gnorm_fn(state.train_state.params)))
         if metrics:
             logger.log_metrics(metrics, step=b)
 
@@ -161,12 +174,15 @@ class ScheduledGarbageCollector(Callback):
         self.batch_interval = int(batch_interval)
         self.gen_1_batch_interval = gen_1_batch_interval
         self._was_enabled = True
+        self._active = False   # between fit_start and fit_end
 
     def fit_start(self, state, logger):
         self._was_enabled = gc.isenabled()
+        self._active = True
         gc.disable()
 
     def fit_end(self, state, logger):
+        self._active = False
         if self._was_enabled:
             gc.enable()
         gc.collect()
@@ -180,7 +196,11 @@ class ScheduledGarbageCollector(Callback):
 
     def eval_start(self, state, logger):
         gc.collect()
-        gc.enable()
+        if self._active:          # mid-fit eval: GC on while generating
+            gc.enable()
 
     def eval_end(self, state, logger):
-        gc.disable()
+        # only re-disable what fit_start disabled — a standalone post-fit
+        # eval used to leave host GC permanently off for the process
+        if self._active:
+            gc.disable()

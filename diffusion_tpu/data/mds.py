@@ -267,13 +267,25 @@ class MDSWriter:
         with open(os.path.join(self.out, basename), "w") as f:
             json.dump({"version": 2, "shards": self._shards}, f)
 
-    def finish(self) -> None:
+    def flush(self) -> None:
+        """Durability barrier: flush buffered samples into a shard, refresh
+        index.json, and WAIT for every queued upload (raising on failure).
+        After flush() returns, everything written so far is durable on disk
+        and (if remote) in the bucket — the point at which a long-running
+        converter may safely delete its consumed inputs. Forcing the
+        partial buffer out makes one undersized shard per call, so call at
+        batch boundaries, not per sample."""
         self._flush_shard()
         self._write_index()
         if self._pool is not None:
             for fut in self._uploads:
-                fut.result()  # surface upload failures to the caller
+                fut.result()
+            self._uploads = []
             self._upload("index.json")
+
+    def finish(self) -> None:
+        self.flush()
+        if self._pool is not None:
             self._pool.shutdown(wait=True)
             self._pool = None
 

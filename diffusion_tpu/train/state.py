@@ -41,6 +41,10 @@ class State:
     timestamp: Timestamp
     run_name: str = "run"
     max_duration: str = "1ba"
+    # total batches the run will execute (Trainer-computed: includes
+    # scale_schedule_ratio and real batches_per_epoch) — consumed by
+    # RuntimeEstimator for the ETA
+    max_batches: Optional[int] = None
     seed: int = 17
     device_train_microbatch_size: Optional[int] = None
     ema_start_batch: int = 0

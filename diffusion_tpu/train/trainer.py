@@ -254,6 +254,7 @@ class Trainer:
             model=model, train_state=self.train_state, frozen=self.frozen,
             timestamp=Timestamp(), run_name=run_name, seed=self.seed,
             max_duration=str(self.max_duration),
+            max_batches=self.max_batches,
             device_train_microbatch_size=device_train_microbatch_size,
             ema_start_batch=(self.ema_algorithm.start_batch(
                 self.max_duration, batches_per_epoch or 0)

@@ -54,8 +54,9 @@ class ConsoleLogger(Logger):
     def log_metrics(self, metrics, step=None):
         if step is not None and step % self.log_interval:
             return
-        parts = " ".join(f"{k}={_scalarize(v):.6g}" if isinstance(_scalarize(v), float)
-                         else f"{k}={v}" for k, v in metrics.items())
+        vals = {k: _scalarize(v) for k, v in metrics.items()}
+        parts = " ".join(f"{k}={s:.6g}" if isinstance(s, float)
+                         else f"{k}={s}" for k, s in vals.items())
         print(f"[step {step}] {parts}", file=self.stream, flush=True)
 
 
@@ -66,7 +67,7 @@ class FileLogger(Logger):
         os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
         self._f = open(filename, "a")
         self._n = 0
-        self.flush_interval = flush_interval
+        self.flush_interval = max(int(flush_interval), 1)
 
     def log_metrics(self, metrics, step=None):
         rec = {"step": step, "time": time.time()}

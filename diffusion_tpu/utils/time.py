@@ -39,6 +39,14 @@ class Time:
         if isinstance(s, Time):
             return s
         if isinstance(s, (int, float)):
+            if float(s) != int(s):
+                # a bare 0.5 (user means half the run) would silently
+                # truncate to 0 batches — e.g. save_interval: 0.5 turning
+                # checkpointing OFF for the whole run. Fractions must say
+                # their unit.
+                raise ValueError(
+                    f"bare fractional time {s!r}: use an explicit unit "
+                    f"string like '{s}dur'")
             return Time(int(s), TimeUnit.BATCH)
         m = _TIME_RE.match(s)
         if not m:

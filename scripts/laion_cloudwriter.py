@@ -98,6 +98,24 @@ def decode_row(row: dict):
     return sample, bucket_of(w, h)
 
 
+def _durable_then_remove(writers: dict, pending: list) -> None:
+    """Flush every bucket writer (disk + remote uploads drained), then and
+    only then delete the consumed source parquets."""
+    for w in writers.values():
+        w.flush()
+    _remove_parquets(pending)
+
+
+def _remove_parquets(pending: list) -> None:
+    for parquet in pending:
+        if os.path.exists(parquet):
+            os.remove(parquet)
+        stats = parquet.replace(".parquet", "_stats.json")
+        if os.path.exists(stats):
+            os.remove(stats)
+    pending.clear()
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--download-dir", required=True)
@@ -109,7 +127,16 @@ def main() -> None:
                    help="with --remote: keep local shard copies after upload")
     p.add_argument("--poll-interval", type=float, default=30.0)
     p.add_argument("--decode-workers", type=int, default=8)
-    p.add_argument("--remove-consumed", action="store_true")
+    p.add_argument("--remove-consumed", action="store_true",
+                   help="delete source parquets once their samples are "
+                        "DURABLE (flushed to disk and, with --remote, "
+                        "uploaded) — deletion waits for the next "
+                        "--flush-every durability barrier, matching the "
+                        "reference's remove-after-all-buckets-finished "
+                        "semantics (ref :254-287)")
+    p.add_argument("--flush-every", type=int, default=10,
+                   help="parquets between durability barriers (writer "
+                        "flush + upload drain) when --remove-consumed")
     p.add_argument("--one-shot", action="store_true",
                    help="convert what exists and exit (no polling)")
     p.add_argument("--wandb", action="store_true",
@@ -136,6 +163,7 @@ def main() -> None:
                                 keep_local=args.keep_local or not args.remote)
 
     consumed = set()
+    pending_removal: list = []
     totals = {"parquets": 0, "samples": 0, "rejected": 0}
     pool = ThreadPoolExecutor(max_workers=max(args.decode_workers, 1))
     t_start = time.time()
@@ -164,19 +192,34 @@ def main() -> None:
                 if wandb_run is not None:
                     wandb_run.log(progress)
                 if args.remove_consumed:  # ref :254-287 remover process
-                    os.remove(parquet)
-                    stats = parquet.replace(".parquet", "_stats.json")
-                    if os.path.exists(stats):
-                        os.remove(stats)
+                    # deletion is DEFERRED to the next durability barrier:
+                    # right here these samples may exist only in MDSWriter's
+                    # in-memory buffer (and un-uploaded local shards) — a
+                    # crash would lose them with the source already gone
+                    pending_removal.append(parquet)
+                if len(pending_removal) >= args.flush_every:
+                    _durable_then_remove(writers, pending_removal)
             if args.one_shot:
                 break
             time.sleep(args.poll_interval)
     finally:
-        for w in writers.values():
-            w.finish()
+        errors = []
+        for lo, w in writers.items():
+            # one bucket's failed upload must not abort the other buckets'
+            # final flush (their buffered samples would be dropped)
+            try:
+                w.finish()
+            except Exception as e:  # noqa: BLE001 - collected and re-raised
+                errors.append((lo, e))
         pool.shutdown(wait=True)
         if wandb_run is not None:
             wandb_run.finish()
+        if errors:
+            raise RuntimeError(
+                f"bucket writer finish() failed for {[lo for lo, _ in errors]}"
+            ) from errors[0][1]
+        # every sample is durable now — safe to drop remaining sources
+        _remove_parquets(pending_removal)
 
 
 if __name__ == "__main__":

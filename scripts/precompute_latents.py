@@ -44,6 +44,11 @@ def main() -> None:
     p.add_argument("--caption-key", default="caption")
     p.add_argument("--model-name", default=None,
                    help="local HF dir for tokenizer/weights")
+    p.add_argument("--keep-local", action="store_true",
+                   help="with --out-remote: keep local output shards after "
+                        "upload (default deletes them — the output dataset "
+                        "is LARGER than the input, and filling the host "
+                        "disk defeats the incremental input-shard deletion)")
     p.add_argument("--keep-inputs", action="store_true",
                    help="do not delete consumed input shards from the local "
                         "cache (deletion is the reference default, "
@@ -97,7 +102,9 @@ def main() -> None:
     out = out_dir if not args.out_remote else \
         (out_dir, f"{args.out_remote.rstrip('/')}/{rank}")
 
-    with MDSWriter(out, columns) as writer:
+    with MDSWriter(out, columns,
+                   keep_local=args.keep_local or not args.out_remote
+                   ) as writer:
         for start in range(0, len(ids), args.batch_size):
             chunk = ids[start:start + args.batch_size]
             raws, imgs_by_size, captions, valid_by_size = [], {s: [] for s in args.sizes}, [], {s: [] for s in args.sizes}

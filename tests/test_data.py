@@ -502,3 +502,23 @@ def test_laion_subset_partition_equal_lengths(tmp_path):
     parts = [tiny.partition(0, r, 8) for r in range(8)]
     assert all(len(p) == 1 for p in parts)
     assert all(int(p[0]) < 2 for p in parts)
+
+
+def test_mds_writer_flush_is_durability_barrier(tmp_path):
+    """flush() forces buffered samples into a shard, refreshes the remote
+    index, and drains uploads — after it returns, a reader pointed at the
+    REMOTE sees everything written so far (the point where the cloudwriter
+    may safely delete consumed source parquets)."""
+    local = str(tmp_path / "local")
+    remote = str(tmp_path / "remote")
+    w = MDSWriter((local, remote), {"caption": "str"},
+                  size_limit=10**6, keep_local=False)   # never auto-flushes
+    for i in range(5):
+        w.write({"caption": f"c{i}"})
+    w.flush()
+    ds = StreamingDataset(local=remote)                 # mid-run remote read
+    assert len(ds) == 5 and ds.get_sample(4)["caption"] == "c4"
+    w.write({"caption": "c5"})
+    w.finish()
+    ds2 = StreamingDataset(local=str(tmp_path / "cache"), remote=remote)
+    assert len(ds2) == 6 and ds2.get_sample(5)["caption"] == "c5"

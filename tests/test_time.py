@@ -56,3 +56,56 @@ def test_epoch_milestones_resolve_with_length():
                                    max_duration="100ba", batches_per_epoch=5)
     assert float(sched(9)) == 1.0
     assert abs(float(sched(10)) - 0.1) < 1e-6
+
+
+def test_bare_fractional_time_rejected():
+    """A bare 0.5 (user means half the run) must not silently truncate to
+    0 batches — save_interval: 0.5 used to turn checkpointing OFF."""
+    import pytest
+
+    from diffusion_tpu.utils.time import Time, TimeUnit
+    with pytest.raises(ValueError, match="dur"):
+        Time.from_str(0.5)
+    assert Time.from_str(2.0) == Time(2, TimeUnit.BATCH)   # integral ok
+    assert Time.from_str("0.5dur").unit == TimeUnit.DURATION
+
+
+def test_file_logger_flush_interval_zero(tmp_path):
+    """flush_interval=0 ('flush always') must not ZeroDivisionError."""
+    from diffusion_tpu.utils.logging import FileLogger
+    lg = FileLogger(str(tmp_path / "m.jsonl"), flush_interval=0)
+    lg.log_metrics({"loss": 1.0}, step=1)
+    lg.close()
+
+
+def test_scheduled_gc_standalone_eval_restores_gc():
+    """eval hooks only toggle GC while a fit() owns it — a standalone
+    post-fit eval used to leave host GC permanently disabled."""
+    import gc
+
+    from diffusion_tpu.callbacks.monitors import ScheduledGarbageCollector
+    cb = ScheduledGarbageCollector(batch_interval=10)
+    assert gc.isenabled()
+    cb.eval_start(None, None)
+    cb.eval_end(None, None)
+    assert gc.isenabled()          # untouched outside fit
+    cb.fit_start(None, None)
+    assert not gc.isenabled()
+    cb.eval_start(None, None)
+    assert gc.isenabled()          # GC on during mid-fit generation
+    cb.eval_end(None, None)
+    assert not gc.isenabled()      # back to fit's disabled state
+    cb.fit_end(None, None)
+    assert gc.isenabled()          # restored
+
+
+def test_runtime_estimator_uses_trainer_max_batches():
+    """ETA reads the Trainer-computed max_batches off State (epoch-denominated
+    durations used to silently disable the estimate)."""
+    from types import SimpleNamespace
+
+    from diffusion_tpu.callbacks.monitors import RuntimeEstimator
+    est = RuntimeEstimator(window_size=4)
+    state = SimpleNamespace(max_duration="200ep", max_batches=1000)
+    est.fit_start(state, None)
+    assert est._max_batches == 1000
