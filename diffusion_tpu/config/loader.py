@@ -53,8 +53,14 @@ def load_config(path: str, overrides: Optional[Sequence[str]] = None) -> Dict[st
 
 
 def loads_config(text: str, overrides: Optional[Sequence[str]] = None) -> Dict[str, Any]:
-    """Like :func:`load_config` but from a YAML string."""
+    """Like :func:`load_config` but from a YAML string (same dialect rules:
+    top level must be a mapping, mosaic `parameters:` trees unwrap)."""
     cfg = yaml.safe_load(text) or {}
+    if not isinstance(cfg, dict):
+        raise TypeError(f"top-level config must be a mapping, got {type(cfg)}")
+    if "parameters" in cfg and isinstance(cfg["parameters"], dict) \
+            and "model" in cfg["parameters"]:
+        cfg = cfg["parameters"]
     if overrides:
         cfg = apply_overrides(cfg, overrides)
     return resolve(cfg)
@@ -98,7 +104,10 @@ def apply_overrides(cfg: Dict[str, Any], overrides: Sequence[str]) -> Dict[str, 
         if not ov:
             continue
         if ov.startswith("~"):
-            path, value, mode = ov[1:], None, "del"
+            # hydra also allows '~a.b=value' (delete only the key; the
+            # value part is informational) — keeping '=v' inside the key
+            # path made the delete a silent no-op
+            path, value, mode = ov[1:].split("=", 1)[0], None, "del"
         else:
             if "=" not in ov:
                 raise ValueError(f"override {ov!r} must look like key=value")
@@ -118,7 +127,19 @@ def apply_overrides(cfg: Dict[str, Any], overrides: Sequence[str]) -> Dict[str, 
                     elif p not in node:
                         raise KeyError(f"override path {path!r}: missing key {p!r} "
                                        f"(use +{path} to add)")
+                    elif mode == "set":
+                        # a null placeholder node (e.g. 'logger:\n  wandb:')
+                        # cannot be traversed into — say so instead of the
+                        # TypeError 'NoneType is not iterable'
+                        raise KeyError(
+                            f"override path {path!r}: {p!r} is null in the "
+                            f"config (use +{path}=... to create the subtree)")
+                    else:           # del through a null parent: nothing to do
+                        node = None
+                        break
                 node = node[p]
+        if node is None:
+            continue        # '~' through a null parent: nothing to delete
         last = parts[-1]
         if mode == "del":
             if isinstance(node, list):

@@ -93,22 +93,20 @@ def _xla_attention_with_lse(q, k, v):
 
 def _xla_attention_bwd_with_lse(q, k, v, out, lse, do, delta=None):
     """Backward of one KV block under a global logsumexp (see
-    flash_attention_bwd_with_lse). Pure-JAX fallback path. `delta` comes in
-    as (B,H,Sq) when precomputed (ring attention hoists it out of the ring
-    loop); internally (B,Sq,H)."""
+    flash_attention_bwd_with_lse). Pure-JAX fallback path. `delta` is
+    (B,H,Sq) — precomputed by ring attention (hoisted out of the ring
+    loop) or derived here."""
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     p = jnp.exp(logits - lse[..., None])                     # (B,H,Sq,Sk)
     if delta is None:
         delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
-                        axis=-1)                              # (B,Sq,H)
-    else:
-        delta = delta.transpose(0, 2, 1)                      # (B,H,Sq)->(B,Sq,H)
+                        axis=-1).transpose(0, 2, 1)           # -> (B,H,Sq)
     dv = jnp.einsum("bhqk,bqhd->bkhd", p.astype(do.dtype), do)
     dp = jnp.einsum("bqhd,bkhd->bhqk", do, v,
                     preferred_element_type=jnp.float32)
-    ds = p * (dp - delta.transpose(0, 2, 1)[..., None])
+    ds = p * (dp - delta[..., None])                          # (B,H,Sq,1)
     dq = jnp.einsum("bhqk,bkhd->bqhd", ds.astype(k.dtype), k) * scale
     dk = jnp.einsum("bhqk,bqhd->bkhd", ds.astype(q.dtype), q) * scale
     return dq, dk, dv

@@ -54,16 +54,18 @@ def _block(s: int, cap: int = 512) -> int:
     return 0
 
 
-# tuning knobs (bench sweeps); defaults are the measured-fastest settings
-_BQ_CAP = int(os.environ.get("DIFFUSION_TPU_FLASH_BQ", "0"))  # 0 = auto
-_BK_CAP = int(os.environ.get("DIFFUSION_TPU_FLASH_BK", "1024"))
+# tuning knobs (bench sweeps); defaults are the measured-fastest settings.
+# Read per call like _interpret() — sweeps set these AFTER import (any
+# transitive import would otherwise freeze the caps at their first values
+# and the sweep would silently measure one configuration n times)
 
 
 def _block_q(s: int) -> int:
     # measured on v5e @512px (4096 spatial tokens): bq=1024 beats 512
     # (24.4 vs 23.8 img/s train step); at 1024 tokens bq=512 was the
     # round-1 winner, so the cap widens only for long sequences
-    cap = _BQ_CAP if _BQ_CAP else (1024 if s >= 4096 else 512)
+    bq_cap = int(os.environ.get("DIFFUSION_TPU_FLASH_BQ", "0"))  # 0 = auto
+    cap = bq_cap if bq_cap else (1024 if s >= 4096 else 512)
     return _block(s, cap=cap)
 
 
@@ -71,7 +73,8 @@ def _block_kv(s: int) -> int:
     # KV tiles can run bigger than Q tiles: k/v blocks are (bk, 64) bf16 and
     # a 1024-row tile keeps the whole 256px self-attention KV in one grid
     # step (zero online-softmax rescale traffic) while 512px+ still streams
-    return _block(s, cap=_BK_CAP)
+    return _block(s, cap=int(os.environ.get("DIFFUSION_TPU_FLASH_BK",
+                                            "1024")))
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref,
@@ -299,7 +302,12 @@ def _bwd(qf, kf, vf, out, lse, do, vma=(), delta=None):
 
 
 def _tiles_ok(q: jnp.ndarray, k: jnp.ndarray) -> bool:
-    return _block_q(q.shape[1]) > 0 and _block_kv(k.shape[1]) > 0
+    # last dim: the kernel is only qualified for 64-multiple head dims
+    # (lane-width tiles; same bound _flash_eligible applies on the auto
+    # path) — odd head dims fall back to XLA instead of lowering an
+    # unqualified Mosaic tile shape
+    return (_block_q(q.shape[1]) > 0 and _block_kv(k.shape[1]) > 0
+            and q.shape[-1] % 64 == 0)
 
 
 @jax.custom_vjp
@@ -309,7 +317,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     Ragged (non-128-multiple) sequence lengths fall back to XLA attention —
     same math, no kernel."""
     b, _, h, _ = q.shape
-    if not _tiles_ok(q, k):
+    if not _kernel_usable(q, k):
         from diffusion_tpu.ops.attention import _xla_attention
         return _xla_attention(q, k, v, None)
     out, _ = _fwd(_fold(q), _fold(k), _fold(v))
@@ -367,7 +375,7 @@ def _kernel_usable(q: jnp.ndarray, k: jnp.ndarray) -> bool:
 
 
 def _flash_fwd_rule(q, k, v):
-    if not _tiles_ok(q, k):
+    if not _kernel_usable(q, k):
         from diffusion_tpu.ops.attention import _xla_attention
         out, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, None),
                            q, k, v)

@@ -104,6 +104,14 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _ring_attention_fwd(q, k, v, axis_name):
     out, lse = _ring_fwd(q, k, v, axis_name)
+    # named for remat policies like the single-device kernel
+    # (flash_attention.py _flash_fwd_rule): without these names the UNet's
+    # save_only_these_names('flash_out','flash_lse') policy would drop the
+    # residuals and re-run the WHOLE n-step ring forward (n flash kernels
+    # + 2n ICI ppermutes per layer) inside the backward pass
+    from jax.ad_checkpoint import checkpoint_name
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, out, lse)
 
 

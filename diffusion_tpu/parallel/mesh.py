@@ -63,7 +63,21 @@ def create_mesh(fsdp: int = -1, data: int = 1, dcn: int = 1, sp: int = 1,
                 per_slice, (sizes["dcn"], 1, 1, 1), devices=devices)
         else:
             dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
-    except Exception:
-        # virtual CPU devices / odd topologies: plain row-major assignment
+    except Exception as e:
+        # virtual CPU devices / odd topologies: plain row-major assignment.
+        # On a REAL multi-slice pod this fallback would misalign the dcn
+        # axis with slice boundaries (fsdp all-gathers then cross slow DCN
+        # links every step — a silent order-of-magnitude cliff), so say it
+        # loudly instead of swallowing the topology error.
+        import logging
+        log = logging.getLogger(__name__)
+        msg = ("mesh_utils device-mesh construction failed (%s); falling "
+               "back to row-major device order")
+        if sizes["dcn"] > 1 and getattr(devices[0], "platform", "") == "tpu":
+            log.error(msg + " — on a multi-slice TPU pod this likely puts "
+                      "per-step collectives on DCN; fix the topology/mesh "
+                      "config instead of training like this", e)
+        else:
+            log.info(msg, e)
         dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, MESH_AXES)

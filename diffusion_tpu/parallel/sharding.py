@@ -24,7 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["param_spec", "param_shardings", "replicated", "batch_spec",
-           "batch_sharding", "shard_batch", "activation_mesh",
+           "batch_sharding", "activation_mesh",
            "constrain_batch"]
 
 # Trace-time ambient mesh for activation sharding constraints. The networks
@@ -124,18 +124,11 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, batch_spec(mesh))
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put a host batch with the batch sharding on every leaf."""
-    sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
-
-
 def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
     """Zero-pad every leaf's batch dim to a multiple and add a '_valid' float
     mask (1 = real sample). Eval batches smaller than the device count (the
     reference sizes eval at 8/device; tails can be ragged) become shardable;
     metric reductions weight by the mask so padding never biases results."""
-    import numpy as np
     n = next(iter(batch.values())).shape[0]
     pad = (-n) % multiple
     out = {}

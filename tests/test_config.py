@@ -90,3 +90,43 @@ def test_instantiate_kwarg_override():
     import fractions
     obj = instantiate({"_target_": "fractions.Fraction", "numerator": 3}, denominator=6)
     assert obj == fractions.Fraction(3, 6)
+
+
+def test_override_delete_with_value_suffix():
+    """hydra's '~a.b=value' form (delete, value informational) must actually
+    delete — the '=value' used to stay inside the key path, a silent no-op."""
+    from diffusion_tpu.config.loader import apply_overrides
+    cfg = {"trainer": {"grad_clip_norm": 1.0, "seed": 3}}
+    out = apply_overrides(cfg, ["~trainer.grad_clip_norm=1.0"])
+    assert "grad_clip_norm" not in out["trainer"]
+    assert out["trainer"]["seed"] == 3
+
+
+def test_override_through_null_parent():
+    """Null placeholder nodes ('logger:\\n  wandb:'): set raises an
+    actionable KeyError (not TypeError on NoneType), + creates the subtree,
+    ~ is a clean no-op."""
+    import pytest
+
+    from diffusion_tpu.config.loader import apply_overrides
+    cfg = {"logger": {"wandb": None}}
+    with pytest.raises(KeyError, match="null"):
+        apply_overrides(cfg, ["logger.wandb.project=x"])
+    out = apply_overrides(cfg, ["+logger.wandb.project=x"])
+    assert out["logger"]["wandb"] == {"project": "x"}
+    out2 = apply_overrides(cfg, ["~logger.wandb.project"])
+    assert out2["logger"]["wandb"] is None        # nothing to delete
+
+
+def test_loads_config_matches_load_config_dialect(tmp_path):
+    """The string and file entry points parse identically: mosaic
+    'parameters:' unwrapping and the top-level-mapping check apply to both."""
+    import pytest
+
+    from diffusion_tpu.config.loader import load_config, loads_config
+    text = "parameters:\n  model:\n    lr: 3\n"
+    f = tmp_path / "c.yaml"
+    f.write_text(text)
+    assert loads_config(text) == load_config(str(f)) == {"model": {"lr": 3}}
+    with pytest.raises(TypeError, match="mapping"):
+        loads_config("- a\n- b\n")
