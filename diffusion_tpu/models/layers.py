@@ -47,6 +47,9 @@ class GroupNorm(nn.Module):
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    # accepted for call-site uniformity with the other layers; the body
+    # ALWAYS computes statistics in fp32 and returns the input's dtype
+    # (the low-precision-norm policy) — this field does not change compute
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -118,10 +121,13 @@ class ResnetBlock(nn.Module):
     epsilon: float = 1e-5
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    # training mode: set as a (static) module attribute so nn.remat wrappers
+    # need no per-call static arguments; the call-time arg overrides
+    deterministic: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: Optional[bool] = None) -> jnp.ndarray:
         residual = x
         h = GroupNorm(self.groups, self.epsilon, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
@@ -138,7 +144,8 @@ class ResnetBlock(nn.Module):
         h = GroupNorm(self.groups, self.epsilon, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         if self.dropout > 0.0:
-            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            det = self.deterministic if deterministic is None else deterministic
+            h = nn.Dropout(self.dropout)(h, deterministic=det)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         h = checkpoint_name(h, "conv_out")

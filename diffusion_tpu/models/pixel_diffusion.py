@@ -59,10 +59,15 @@ class PixelDiffusion:
         return hidden
 
     def forward(self, params: Dict, frozen: Dict, batch: Dict,
-                rng: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                rng: jax.Array, train: bool = True
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         inputs = batch[self.image_key].astype(jnp.float32)
         conditioning = self.encode_text(frozen, batch[self.caption_key])
-        r_t, r_noise = jax.random.split(rng)
+        use_dropout = train and getattr(self.unet.config, "dropout", 0.0) > 0
+        if use_dropout:
+            r_t, r_noise, r_drop = jax.random.split(rng, 3)
+        else:
+            r_t, r_noise = jax.random.split(rng)
         bsz = inputs.shape[0]
         if self.continuous_time:
             timesteps = jax.random.uniform(
@@ -72,7 +77,10 @@ class PixelDiffusion:
                 r_t, (bsz,), 0, self.noise_scheduler.num_train_timesteps)
         noise = jax.random.normal(r_noise, inputs.shape, jnp.float32)
         noised = self.noise_scheduler.add_noise(inputs, noise, timesteps)
-        pred = self.unet.apply(params, noised, timesteps, conditioning)
+        pred = self.unet.apply(params, noised, timesteps, conditioning,
+                               deterministic=not use_dropout,
+                               rngs={"dropout": r_drop} if use_dropout
+                               else None)
         if self.prediction_type == "sample":
             target = inputs
         elif self.prediction_type == "epsilon":

@@ -155,9 +155,17 @@ class StableDiffusion:
         return hidden
 
     def forward(self, params: Dict, frozen: Dict, batch: Dict[str, jnp.ndarray],
-                rng: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Diffusion forward pass -> (prediction, target, timesteps)."""
-        r_enc, r_t, r_noise = jax.random.split(rng, 3)
+                rng: jax.Array, train: bool = True
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Diffusion forward pass -> (prediction, target, timesteps).
+
+        `train=True` activates UNet dropout when cfg.dropout > 0 (the eval
+        loop passes train=False, Composer model.eval() semantics)."""
+        use_dropout = train and getattr(self.unet.config, "dropout", 0.0) > 0
+        if use_dropout:
+            r_enc, r_t, r_noise, r_drop = jax.random.split(rng, 4)
+        else:
+            r_enc, r_t, r_noise = jax.random.split(rng, 3)
         if self.precomputed_latents and self.image_latents_key in batch:
             latents = batch[self.image_latents_key].astype(jnp.float32)
             conditioning = batch[self.caption_latents_key].astype(jnp.float32)
@@ -170,8 +178,10 @@ class StableDiffusion:
         timesteps = jax.random.randint(r_t, (bsz,), 0, num_t)
         noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
         noised = self.noise_scheduler.add_noise(latents, noise, timesteps)
-        pred = self.unet.apply(self.unet_variables(params, frozen), noised,
-                               timesteps, conditioning)
+        pred = self.unet.apply(
+            self.unet_variables(params, frozen), noised, timesteps,
+            conditioning, deterministic=not use_dropout,
+            rngs={"dropout": r_drop} if use_dropout else None)
         if self.prediction_type == "epsilon":
             target = noise
         elif self.prediction_type == "sample":

@@ -80,8 +80,12 @@ class UNet2DCondition(nn.Module):
 
     @nn.compact
     def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,
-                 encoder_hidden_states: jnp.ndarray) -> jnp.ndarray:
-        """sample (B,H,W,Cin) NHWC, timesteps (B,), context (B,S,cross_dim)."""
+                 encoder_hidden_states: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """sample (B,H,W,Cin) NHWC, timesteps (B,), context (B,S,cross_dim).
+
+        `deterministic=False` activates ResnetBlock dropout (cfg.dropout);
+        callers must then supply a 'dropout' rng to apply()."""
         cfg = self.config
         if self.remat:
             if self.remat_policy == "dots":
@@ -130,6 +134,7 @@ class UNet2DCondition(nn.Module):
             out_ch = cfg.block_out_channels[i]
             for j in range(cfg.layers_per_block):
                 h = Res(out_ch, groups=cfg.norm_num_groups, dropout=cfg.dropout,
+                        deterministic=deterministic,
                         dtype=self.dtype, name=f"down_{i}_res_{j}")(h, temb)
                 if cfg.block_has_attention[i]:
                     h = Attn(cfg.attention_head_dim[i], cfg.head_dim[i],
@@ -150,6 +155,7 @@ class UNet2DCondition(nn.Module):
         # ---- mid
         mid_ch = cfg.block_out_channels[-1]
         h = Res(mid_ch, groups=cfg.norm_num_groups, dropout=cfg.dropout,
+                        deterministic=deterministic,
                 dtype=self.dtype, name="mid_res_0")(h, temb)
         h = Attn(cfg.attention_head_dim[-1], cfg.head_dim[-1],
                  depth=cfg.transformer_depth,
@@ -158,6 +164,7 @@ class UNet2DCondition(nn.Module):
                  lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
                  name="mid_attn")(h, context)
         h = Res(mid_ch, groups=cfg.norm_num_groups, dropout=cfg.dropout,
+                        deterministic=deterministic,
                 dtype=self.dtype, name="mid_res_1")(h, temb)
         h = constrain_batch(h)
 
@@ -172,6 +179,7 @@ class UNet2DCondition(nn.Module):
                 skip = residuals.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = Res(out_ch, groups=cfg.norm_num_groups, dropout=cfg.dropout,
+                        deterministic=deterministic,
                         dtype=self.dtype, name=f"up_{i}_res_{j}")(h, temb)
                 if rev_attention[i]:
                     h = Attn(rev_heads[i], rev_head_dim[i],

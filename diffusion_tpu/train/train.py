@@ -67,6 +67,13 @@ def build_trainer(config: Dict[str, Any]) -> Trainer:
     if dataset_conf.get("train_dataset"):
         tb = int(dataset_conf.get("train_batch_size", 0) or
                  select(dataset_conf, "train_dataset.batch_size", 0))
+        if tb < n_hosts or tb % n_hosts:
+            # Composer raises the same way (reference train.py:40): a
+            # silent floor-division would train at a different global
+            # batch than the config says (or batch_size 0)
+            raise ValueError(
+                f"train_batch_size {tb} must be a positive multiple of "
+                f"the host count ({n_hosts})")
         train_dataloader = instantiate(dataset_conf["train_dataset"],
                                        batch_size=tb // n_hosts,
                                        _recursive_=False)
@@ -74,8 +81,8 @@ def build_trainer(config: Dict[str, Any]) -> Trainer:
     evaluators = []
     if dataset_conf.get("evaluators"):
         for ev_conf in dataset_conf["evaluators"]:
-            eb = int(ev_conf.get("eval_batch_size",
-                                 dataset_conf.get("eval_batch_size", 8)))
+            eb = int(ev_conf.get("eval_batch_size")
+                     or dataset_conf.get("eval_batch_size") or 8)
             dl = instantiate(ev_conf["eval_dataset"], batch_size=eb // n_hosts)
             evaluators.append(Evaluator(ev_conf.get("label", "eval"), dl,
                                         ev_conf.get("metric_names", ())))
@@ -111,12 +118,19 @@ def build_trainer(config: Dict[str, Any]) -> Trainer:
             batches_per_epoch = 0
     sched_conf = dict(config.get("scheduler") or {})
     if sched_conf:
-        sched_conf.pop("_target_", None)
+        target = sched_conf.pop("_target_", None)
         name = sched_conf.pop("name", None)
         from diffusion_tpu.train import optim as optim_mod
-        factory = getattr(optim_mod, name) if name else \
-            optim_mod.multi_step_with_warmup if "milestones" in sched_conf else \
-            optim_mod.constant_with_warmup
+        if target:
+            # hydra parity: an explicit _target_ must win — discarding it
+            # and falling back to the name/milestones heuristic silently
+            # trained with the wrong schedule
+            from diffusion_tpu.config.loader import _import_target
+            factory = _import_target(target)
+        else:
+            factory = getattr(optim_mod, name) if name else \
+                optim_mod.multi_step_with_warmup if "milestones" in sched_conf \
+                else optim_mod.constant_with_warmup
         sched_conf.setdefault("batches_per_epoch", batches_per_epoch)
         schedule = factory(max_duration=max_duration,
                            scale_schedule_ratio=scale_schedule_ratio,

@@ -604,7 +604,8 @@ class Trainer:
                     sequence_parallel(
                         None if self._plain else self.mesh,
                         min_seq=self.sequence_parallel_min_seq):
-                pred, target, t = model.forward(params, frozen, batch, rng)
+                pred, target, t = model.forward(params, frozen, batch, rng,
+                                                train=False)
             err = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))
             per_example = jnp.mean(err, axis=tuple(range(1, err.ndim)))
             if valid is None:

@@ -93,3 +93,31 @@ def test_train_from_config(workspace):
     lines = open(workspace / "metrics.jsonl").read().strip().split("\n")
     records = [l for l in lines if "metrics/eval/MeanSquaredError" in l]
     assert records, "eval_first did not log eval metrics"
+
+
+def test_scheduler_target_respected(workspace):
+    """A scheduler declared with _target_ (hydra parity) composes THAT
+    factory — the name/milestones heuristic used to silently replace an
+    explicit cosine schedule with a constant one."""
+    cfg = loads_config(YAML.replace("{root}", str(workspace)), [
+        "+scheduler._target_=diffusion_tpu.train.optim.cosine_annealing_with_warmup",
+        "~scheduler.name", "~scheduler.milestones",
+        "+scheduler.alpha_f=0.0",
+        "trainer.max_duration=10ba",
+    ])
+    tr = build_trainer(cfg)
+    # cosine: full LR after warmup, ~0 at the end; a constant schedule
+    # would stay at 1.0
+    assert abs(float(tr._schedule(1)) - 1.0) < 1e-6
+    assert float(tr._schedule(9)) < 0.2
+    tr.close()
+
+
+def test_train_batch_size_must_divide_hosts(workspace):
+    """Composer parity: an indivisible global batch raises at composition
+    (silent floor-division trained at a different batch than configured).
+    On this 1-process host any multiple passes; 0 must fail."""
+    cfg = loads_config(YAML.replace("{root}", str(workspace)),
+                       ["batch_size=0"])
+    with pytest.raises(ValueError, match="multiple of"):
+        build_trainer(cfg)

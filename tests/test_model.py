@@ -375,3 +375,59 @@ def test_pixel_ode_generate():
     out = model.generate(params, frozen, prompt_ids, height=16, width=16,
                          num_inference_steps=2, seed=0)
     assert out.shape == (1, 16, 16, 3)
+
+
+def test_unet_dropout_wired():
+    """UNetConfig.dropout must actually drop in train mode (it used to be a
+    silent no-op — ResnetBlock's deterministic flag was never threaded):
+    deterministic default is unchanged and reproducible; deterministic=False
+    perturbs the output, depends on the dropout rng, and reproduces under
+    the same rng; remat composes with it."""
+    import dataclasses
+
+    from diffusion_tpu.models.unet import UNet2DCondition, UNetConfig
+    cfg = UNetConfig(in_channels=4, out_channels=4,
+                     block_out_channels=(32, 64), layers_per_block=1,
+                     block_has_attention=(True, False),
+                     attention_head_dim=(2, 4), cross_attention_dim=32,
+                     norm_num_groups=8, dropout=0.5)
+    unet = UNet2DCondition(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4, 4, 4)),
+                    jnp.float32)
+    t = jnp.asarray([7], jnp.int32)
+    ctx = jnp.asarray(np.random.default_rng(1).normal(size=(1, 77, 32)),
+                      jnp.float32)
+    params = unet.init(jax.random.key(0), x, t, ctx)
+    det = unet.apply(params, x, t, ctx)
+    det2 = unet.apply(params, x, t, ctx)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
+    dp_a = unet.apply(params, x, t, ctx, deterministic=False,
+                      rngs={"dropout": jax.random.key(1)})
+    dp_a2 = unet.apply(params, x, t, ctx, deterministic=False,
+                       rngs={"dropout": jax.random.key(1)})
+    dp_b = unet.apply(params, x, t, ctx, deterministic=False,
+                      rngs={"dropout": jax.random.key(2)})
+    assert np.abs(np.asarray(dp_a) - np.asarray(det)).max() > 0
+    np.testing.assert_array_equal(np.asarray(dp_a), np.asarray(dp_a2))
+    assert np.abs(np.asarray(dp_a) - np.asarray(dp_b)).max() > 0
+    # remat path composes with dropout rngs
+    runet = UNet2DCondition(cfg, remat=True)
+    r = runet.apply(params, x, t, ctx, deterministic=False,
+                    rngs={"dropout": jax.random.key(1)})
+    assert np.isfinite(np.asarray(r)).all()
+    # model adapter threads it: train forward differs across rng only via
+    # its own stream; eval (train=False) path is dropout-free and matches
+    # a second eval call bit-for-bit
+    model = tiny_stable_diffusion()
+    model = dataclasses.replace(
+        model, unet=UNet2DCondition(dataclasses.replace(
+            model.unet.config, dropout=0.5), dtype=model.unet.dtype))
+    params2, frozen2 = model.init_params(jax.random.key(0), image_size=32)
+    batch = _batch(model)
+    e1 = model.forward(params2, frozen2, batch, jax.random.key(5),
+                       train=False)[0]
+    e2 = model.forward(params2, frozen2, batch, jax.random.key(5),
+                       train=False)[0]
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    t1 = model.forward(params2, frozen2, batch, jax.random.key(5))[0]
+    assert np.isfinite(np.asarray(t1)).all()
