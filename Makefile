@@ -7,7 +7,8 @@
 test:
 	python -m pytest tests/ -x -q
 
-# sub-minute signal: skip the multi-minute trainer/composition tests
+# quick signal (~4 min on the 1-core CI host): skips the multi-minute
+# trainer-fit / SPMD-compile / composition tests, which `make test` covers
 test-fast:
 	python -m pytest tests/ -x -q -m "not slow"
 
@@ -26,5 +27,13 @@ bench:
 bench-data:
 	BENCH_DATA=1 python bench.py
 
+# real lint: ruff when installed (CI installs it; [tool.ruff] in
+# pyproject.toml), else the in-image AST checker — either FAILS on an
+# unused import; compileall still gates syntax across every tree
 lint:
-	python -m compileall -q diffusion_tpu tests scripts tools
+	python -m compileall -q diffusion_tpu tests scripts tools bench.py run.py
+	@if python -c "import ruff" 2>/dev/null; then \
+		python -m ruff check diffusion_tpu tests scripts tools bench.py run.py; \
+	else \
+		python tools/lint.py; \
+	fi

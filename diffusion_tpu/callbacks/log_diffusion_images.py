@@ -11,7 +11,7 @@ there is no module wrapper — params are explicit.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import numpy as np

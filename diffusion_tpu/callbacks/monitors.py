@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import collections
 import gc
-import time
 from typing import Deque, Optional, Tuple
 
 import jax

@@ -18,7 +18,7 @@ import copy
 import functools
 import importlib
 import re
-from typing import Any, Callable, Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, Optional, Sequence
 
 import yaml
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import io
 import random
-from typing import Any, Callable, Dict, Optional, Sequence, Union
+from typing import Any, Dict, Optional
 
 import numpy as np
 from PIL import Image

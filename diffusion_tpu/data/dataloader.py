@@ -20,9 +20,8 @@ from __future__ import annotations
 import multiprocessing
 import pickle
 import queue
-import threading
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
-from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence
 
 import numpy as np
 

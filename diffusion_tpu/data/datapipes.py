@@ -25,7 +25,7 @@ import os
 import random
 import tarfile
 from typing import (Any, Callable, Dict, Iterable, Iterator, List, Mapping,
-                    Optional, Sequence, Tuple, Union)
+                     Optional, Sequence, Union)
 
 import numpy as np
 

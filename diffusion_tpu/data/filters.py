@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import json
 import logging
-import sys
 from typing import Any, Dict, Mapping, Optional, Sequence, Union
 
 logger = logging.getLogger(__name__)

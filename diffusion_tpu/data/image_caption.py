@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import io
 import random
-from typing import Any, Callable, Dict, List, Optional, Sequence, Union
+from typing import Any, Callable, Dict, Optional, Sequence, Union
 
 import numpy as np
 from PIL import Image

@@ -15,12 +15,9 @@ transposing on the host during decode.
 
 from __future__ import annotations
 
-import io
-import random
 from typing import Any, Callable, Dict, Optional, Sequence, Union
 
 import numpy as np
-from PIL import Image
 
 from diffusion_tpu.data.dataloader import DataLoader
 from diffusion_tpu.data.image_caption import StreamingImageCaptionDataset

@@ -15,7 +15,7 @@ import random
 import shutil
 import time
 import uuid
-from typing import Callable, Optional
+from typing import Callable
 
 __all__ = ["ObjectStore", "download_with_retry", "retry"]
 

@@ -10,7 +10,7 @@ numpy crop + bicubic resize + /127.5-1). Output is float32 NHWC-per-sample
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 from PIL import Image

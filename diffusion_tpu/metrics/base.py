@@ -11,7 +11,7 @@ partial sums for multi-host eval.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any
 
 import jax
 import numpy as np

@@ -15,8 +15,6 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from diffusion_tpu.metrics.base import Metric, all_hosts_sum

@@ -4,9 +4,7 @@ per-loss-bin timestep masking)."""
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from diffusion_tpu.metrics.base import Metric, all_hosts_sum

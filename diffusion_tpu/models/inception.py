@@ -19,7 +19,7 @@ Input: (B, 299, 299, 3) NHWC in [-1, 1].
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

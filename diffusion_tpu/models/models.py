@@ -22,7 +22,7 @@ diffusion/models/models.py): `stable_diffusion_2` (ref :28-112),
 from __future__ import annotations
 
 import os
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax.numpy as jnp
 

@@ -15,7 +15,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 
 __all__ = ["initialize", "get_world_size", "get_process_index",
            "get_local_world_size", "get_global_rank", "barrier",

@@ -21,9 +21,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from diffusion_tpu.schedulers.ddpm import (alphas_cumprod_np,
-                                           make_beta_schedule,
-                                           uniform_timestep_grid)
+from diffusion_tpu.schedulers.ddpm import alphas_cumprod_np, uniform_timestep_grid
 
 __all__ = ["DDIMScheduler"]
 

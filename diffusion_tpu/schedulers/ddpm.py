@@ -14,7 +14,6 @@ traces cleanly inside a jitted train step.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,7 @@ diffusion/train.py:91-108 applies module-surgery algorithms at INIT).
 from __future__ import annotations
 
 from enum import Enum
-from typing import TYPE_CHECKING, Iterable, List
+from typing import Iterable, List
 
 __all__ = ["Event", "Callback", "Algorithm", "EventEngine"]
 

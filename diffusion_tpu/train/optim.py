@@ -16,7 +16,7 @@ from typing import Callable, Optional, Sequence, Union
 
 import optax
 
-from diffusion_tpu.utils.time import Time, time_to_batches
+from diffusion_tpu.utils.time import time_to_batches
 
 __all__ = ["adamw", "build_optimizer", "multi_step_with_warmup",
            "cosine_annealing_with_warmup", "linear_with_warmup",

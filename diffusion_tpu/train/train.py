@@ -14,8 +14,7 @@ diffusion_tpu.config.
 
 from __future__ import annotations
 
-import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np
@@ -24,7 +23,6 @@ from diffusion_tpu.config import instantiate, select
 from diffusion_tpu.parallel import dist
 from diffusion_tpu.train.optim import constant_scheduler
 from diffusion_tpu.train.trainer import Evaluator, Trainer
-from diffusion_tpu.utils.logging import LoggerCollection
 
 __all__ = ["train", "build_trainer"]
 

@@ -10,7 +10,6 @@ starting at `start_batch`, once.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 

@@ -4,7 +4,6 @@
 config is given; overrides use the same key=value syntax)."""
 
 import argparse
-import sys
 
 
 def main() -> None:

@@ -4,7 +4,7 @@ import functools
 
 import pytest
 
-from diffusion_tpu.config import apply_overrides, instantiate, loads_config, resolve
+from diffusion_tpu.config import apply_overrides, instantiate, loads_config
 
 YAML = """
 batch_size: 2048

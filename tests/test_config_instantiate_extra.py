@@ -27,7 +27,6 @@ def test_callsite_partial():
 def test_mix_config_via_instantiate(tmp_path):
     """The mixdata yaml shape: outer builder receives raw datapipes configs."""
     import io
-    import json
     import tarfile
     from diffusion_tpu.config import loads_config
 

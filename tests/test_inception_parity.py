@@ -11,7 +11,6 @@ plausible-but-wrong FID forever. This live test catches exactly that class
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")

@@ -15,8 +15,7 @@ import numpy as np
 import pytest
 from flax import traverse_util
 
-from diffusion_tpu.models.lora import (fold_lora, is_lora_key, merge_lora,
-                                       split_lora)
+from diffusion_tpu.models.lora import fold_lora, is_lora_key, merge_lora
 from diffusion_tpu.models.models import stable_diffusion_2, stable_diffusion_tiny
 from diffusion_tpu.models.unet import UNet2DCondition
 

@@ -4,7 +4,6 @@ real architecture, tiny spatial size — reference tests/test_model.py:13-28).""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from diffusion_tpu.models.clip import (CLIPTextConfig, CLIPTextModel,
                                        CLIPVisionConfig, CLIPVisionModel)

@@ -5,7 +5,6 @@ Proves the HF->Flax mapping is a bijection on the real layout without
 needing downloaded weights (zero-egress)."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

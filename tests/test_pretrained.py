@@ -10,7 +10,6 @@ StableDiffusionInference -> outputs numerically match the torch stack.
 """
 
 import dataclasses
-import os
 
 import numpy as np
 import pytest

@@ -10,7 +10,6 @@ numerically identical to the same mesh with ring dispatch disabled.
 """
 
 import numpy as np
-import pytest
 
 import jax
 
