@@ -41,6 +41,40 @@ TINY_UNET_SPEC = dict(
     use_linear_projection=True,
 )
 
+# breadth variants (verdict r3 weak #1 / item 6): every code path
+# port_hf.py maps gets its own committed golden —
+# 3-block tower with UNEVEN head dims (8/8/12) exercised on an
+# asymmetric H != W sample:
+ASYM_UNET_SPEC = dict(
+    in_channels=4,
+    out_channels=4,
+    block_out_channels=(16, 24, 48),
+    layers_per_block=1,
+    block_has_attention=(True, True, False),
+    attention_head_dim=(2, 3, 4),
+    cross_attention_dim=16,
+    norm_num_groups=8,
+    use_linear_projection=True,
+)
+
+# use_linear_projection=False (Conv2d 1x1 transformer projections — the
+# SD1/pixel-UNet family) at the same geometry as the base golden:
+CONVPROJ_UNET_SPEC = dict(TINY_UNET_SPEC, use_linear_projection=False)
+
+# pixel-space UNet (reference models.py:124-129: 3->3ch, attention in every
+# block, conv projections — diffusers' default for that builder):
+PIXEL_UNET_SPEC = dict(
+    in_channels=3,
+    out_channels=3,
+    block_out_channels=(16, 32),
+    layers_per_block=1,
+    block_has_attention=(True, True),
+    attention_head_dim=(2, 4),
+    cross_attention_dim=24,
+    norm_num_groups=8,
+    use_linear_projection=False,
+)
+
 TINY_VAE_SPEC = dict(
     in_channels=3,
     out_channels=3,
@@ -49,6 +83,23 @@ TINY_VAE_SPEC = dict(
     layers_per_block=1,
     norm_num_groups=4,
 )
+
+# fixture registry — tests/test_hf_parity.py parametrizes over these, so a
+# spec added here is automatically golden-pinned. hw = input spatial dims
+# (asym entries pin H != W handling); ctx_len = text length fed to
+# cross-attention.
+UNET_GOLDENS = {
+    "unet_golden.npz": dict(spec=TINY_UNET_SPEC, hw=(8, 8), ctx_len=7),
+    "unet_golden_asym.npz": dict(spec=ASYM_UNET_SPEC, hw=(8, 16), ctx_len=5),
+    "unet_golden_convproj.npz": dict(spec=CONVPROJ_UNET_SPEC, hw=(8, 8),
+                                     ctx_len=7),
+    "unet_golden_pixel.npz": dict(spec=PIXEL_UNET_SPEC, hw=(16, 16),
+                                  ctx_len=7),
+}
+VAE_GOLDENS = {
+    "vae_golden.npz": dict(spec=TINY_VAE_SPEC, hw=(32, 32)),
+    "vae_golden_asym.npz": dict(spec=TINY_VAE_SPEC, hw=(32, 48)),
+}
 
 
 def unet_config_from_spec(spec: dict):
@@ -120,16 +171,18 @@ def _diffusers_vae(spec: dict):
     )
 
 
-def capture_unet(out_dir: str) -> str:
+def capture_unet(out_dir: str, name: str = "unet_golden.npz") -> str:
     import torch
 
+    info = UNET_GOLDENS[name]
+    spec, (h, w), ctx_len = info["spec"], info["hw"], info["ctx_len"]
     torch.manual_seed(0)
-    unet, source = _unet_impl(TINY_UNET_SPEC)
+    unet, source = _unet_impl(spec)
     unet = unet.eval()
     rng = np.random.default_rng(0)
-    sample = rng.normal(size=(2, 4, 8, 8)).astype(np.float32)
+    sample = rng.normal(size=(2, spec["in_channels"], h, w)).astype(np.float32)
     timesteps = np.asarray([10, 500], np.int64)
-    ehs = rng.normal(size=(2, 7, TINY_UNET_SPEC["cross_attention_dim"])
+    ehs = rng.normal(size=(2, ctx_len, spec["cross_attention_dim"])
                      ).astype(np.float32)
     with torch.no_grad():
         expected = unet(torch.from_numpy(sample),
@@ -142,20 +195,24 @@ def capture_unet(out_dir: str) -> str:
     blob.update(sample=sample, timesteps=timesteps,
                 encoder_hidden_states=ehs, expected=expected,
                 source=np.asarray(source))
-    path = os.path.join(out_dir, "unet_golden.npz")
+    path = os.path.join(out_dir, name)
     np.savez_compressed(path, **blob)
     return path
 
 
-def capture_vae(out_dir: str) -> str:
+def capture_vae(out_dir: str, name: str = "vae_golden.npz") -> str:
     import torch
 
+    info = VAE_GOLDENS[name]
+    spec, (h, w) = info["spec"], info["hw"]
     torch.manual_seed(0)
-    vae, source = _vae_impl(TINY_VAE_SPEC)
+    vae, source = _vae_impl(spec)
     vae = vae.eval()
     rng = np.random.default_rng(0)
-    image = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
-    latent = rng.normal(size=(1, 4, 4, 4)).astype(np.float32)  # 32px / 2^3
+    image = rng.uniform(-1, 1, (1, 3, h, w)).astype(np.float32)
+    down = 2 ** (len(spec["block_out_channels"]) - 1)
+    latent = rng.normal(size=(1, spec["latent_channels"],
+                              h // down, w // down)).astype(np.float32)
     with torch.no_grad():
         if hasattr(vae, "encode_mean"):  # torch_ref
             latent_mean = vae.encode_mean(torch.from_numpy(image)).numpy()
@@ -167,7 +224,7 @@ def capture_vae(out_dir: str) -> str:
     blob = {f"w:{k}": v.detach().numpy() for k, v in vae.state_dict().items()}
     blob.update(image=image, latent=latent, latent_mean=latent_mean,
                 decoded=decoded, source=np.asarray(source))
-    path = os.path.join(out_dir, "vae_golden.npz")
+    path = os.path.join(out_dir, name)
     np.savez_compressed(path, **blob)
     return path
 
@@ -177,8 +234,10 @@ def main() -> None:
     p.add_argument("--out", default="tests/fixtures")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
-    print("wrote", capture_unet(args.out))
-    print("wrote", capture_vae(args.out))
+    for name in UNET_GOLDENS:
+        print("wrote", capture_unet(args.out, name))
+    for name in VAE_GOLDENS:
+        print("wrote", capture_vae(args.out, name))
 
 
 if __name__ == "__main__":
