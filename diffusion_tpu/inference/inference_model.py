@@ -80,7 +80,13 @@ class StableDiffusionInference:
                     "(tools/port_weights.py), or allow_random_frozen=True "
                     "for CI/smoke serving where garbage images are fine.")
         if checkpoint_path:
-            from diffusion_tpu.train.checkpoint import load_checkpoint
+            from diffusion_tpu.train.checkpoint import (fetch_checkpoint_dir,
+                                                        load_checkpoint)
+            # bucket-hosted checkpoints (s3://, gs://, file://) are mirrored
+            # to a local cache first (reference endpoint downloads from its
+            # bucket, reference inference_model.py:19-22); unsupported
+            # schemes fail with a clear message instead of an orbax error
+            checkpoint_path = fetch_checkpoint_dir(checkpoint_path)
             dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
             abstract = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=dev),

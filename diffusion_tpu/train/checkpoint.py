@@ -25,7 +25,8 @@ import jax
 
 __all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint_path",
            "checkpoint_batch", "finalize_pending", "prune_checkpoints",
-           "sync_from_remote", "drain_remote_uploads"]
+           "sync_from_remote", "drain_remote_uploads",
+           "fetch_checkpoint_dir"]
 
 _BA_RE = re.compile(r"^ba(\d+)$")
 _COMPLETE = "meta.json"  # written last => marks a complete checkpoint
@@ -297,6 +298,54 @@ def sync_from_remote(save_folder: str, remote: str) -> Optional[str]:
                  if k.replace("\\", "/").startswith(best_name + "/")]
         for rel in sorted(files, key=lambda r: r == _COMPLETE):  # marker last
             store.download(prefix + rel, os.path.join(dest, rel))
+    return dest
+
+
+_REMOTE_SCHEMES = ("s3://", "gs://", "file://")
+
+
+def fetch_checkpoint_dir(checkpoint_path: str,
+                         cache_dir: Optional[str] = None) -> str:
+    """Resolve a checkpoint path that may live in an object store to a
+    local directory (the reference endpoint downloads its checkpoint from a
+    bucket before loading, reference inference_model.py:19-22 get_file).
+
+    Local paths pass through untouched. `s3://`, `gs://` and `file://`
+    (tests, network mounts) are mirrored into a content-keyed cache dir —
+    idempotent across restarts via a completeness marker, so a redeployed
+    server only downloads once. Unsupported schemes fail HERE with a clear
+    message instead of deep inside orbax."""
+    if "://" in checkpoint_path and \
+            not checkpoint_path.startswith(_REMOTE_SCHEMES):
+        scheme = checkpoint_path.split("://", 1)[0]
+        raise ValueError(
+            f"unsupported checkpoint scheme {scheme}:// "
+            f"({checkpoint_path}); supported: a local directory, "
+            f"s3://, gs://, or file://")
+    if not checkpoint_path.startswith(_REMOTE_SCHEMES):
+        return checkpoint_path
+    src = checkpoint_path[7:] if checkpoint_path.startswith("file://") \
+        else checkpoint_path
+    import hashlib
+
+    from diffusion_tpu.data.object_store import ObjectStore
+    digest = hashlib.sha1(checkpoint_path.encode()).hexdigest()[:16]
+    dest = os.path.join(
+        cache_dir or os.path.join(os.path.expanduser("~/.cache"),
+                                  "diffusion_tpu", "serving_ckpt"),
+        digest)
+    marker = os.path.join(dest, ".fetched")
+    if os.path.exists(marker):
+        return dest
+    store = ObjectStore()
+    keys = store.list_prefix(src)
+    if not keys:
+        raise FileNotFoundError(
+            f"no objects under checkpoint path {checkpoint_path}")
+    for rel in keys:
+        store.download(f"{src.rstrip('/')}/{rel}", os.path.join(dest, rel))
+    with open(marker, "w") as f:
+        f.write(checkpoint_path + "\n")
     return dest
 
 

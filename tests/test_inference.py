@@ -3,9 +3,11 @@
 import base64
 import io
 import json
+import os
 import threading
 from http.client import HTTPConnection
 
+import jax
 import numpy as np
 import pytest
 from PIL import Image
@@ -221,6 +223,62 @@ def test_guidance_rescale_serving():
                                      rescale_betas_zero_snr=True)
     with pytest.raises(ValueError, match="DDIM"):
         ztsnr.batch_key(kw | {"scheduler": "dpm++2m"})  # parse-time error
+
+
+def test_fetch_checkpoint_dir_remote_and_schemes(tmp_path):
+    """Remote checkpoint fetch for serving (verdict r3 item 4; reference
+    inference_model.py:19-22 downloads its checkpoint from a bucket):
+    file:// mirrors into the cache exactly once, unknown schemes fail with
+    a clear client error, local paths pass through untouched."""
+    from diffusion_tpu.train.checkpoint import fetch_checkpoint_dir
+
+    src = tmp_path / "remote" / "ba100"
+    (src / "state").mkdir(parents=True)
+    (src / "state" / "data.bin").write_bytes(b"\x01\x02")
+    (src / "meta.json").write_text("{}")
+
+    cache = tmp_path / "cache"
+    local = fetch_checkpoint_dir(f"file://{src}", cache_dir=str(cache))
+    assert os.path.exists(os.path.join(local, "meta.json"))
+    with open(os.path.join(local, "state", "data.bin"), "rb") as f:
+        assert f.read() == b"\x01\x02"
+
+    # idempotent: a second fetch returns the cached mirror without copying
+    (src / "state" / "data.bin").write_bytes(b"\xff")  # mutate the source
+    again = fetch_checkpoint_dir(f"file://{src}", cache_dir=str(cache))
+    assert again == local
+    with open(os.path.join(again, "state", "data.bin"), "rb") as f:
+        assert f.read() == b"\x01\x02"   # served from the cache, not re-read
+
+    # local paths pass through
+    assert fetch_checkpoint_dir(str(src)) == str(src)
+    # unsupported scheme: clear parse-time error, not an orbax stack
+    with pytest.raises(ValueError, match="oci"):
+        fetch_checkpoint_dir("oci://bucket/ckpt")
+    # empty remote: loud, not a silent empty dir
+    with pytest.raises(FileNotFoundError):
+        fetch_checkpoint_dir(f"file://{tmp_path}/nothing-here",
+                             cache_dir=str(cache))
+
+
+def test_endpoint_loads_weights_only_checkpoint_from_file_uri(tmp_path):
+    """End-to-end: a weights-only param pytree in a file:// 'bucket' is
+    fetched and restored by the endpoint (the reference's deploy flow with
+    the bucket swapped for the test filesystem)."""
+    import orbax.checkpoint as ocp
+
+    donor = StableDiffusionInference(builder=stable_diffusion_tiny,
+                                     default_size=32, seed=7)
+    ckpt = tmp_path / "bucket" / "weights"
+    ocp.StandardCheckpointer().save(str(ckpt), donor.params)
+
+    endpoint = StableDiffusionInference(
+        builder=stable_diffusion_tiny, default_size=32, seed=0,
+        checkpoint_path=f"file://{ckpt}", allow_random_frozen=True)
+    donor_leaves = jax.tree.leaves(donor.params)
+    loaded_leaves = jax.tree.leaves(endpoint.params)
+    assert all(np.allclose(a, b)
+               for a, b in zip(donor_leaves, loaded_leaves))
 
 
 def test_checkpoint_over_random_frozen_towers_refused(tmp_path):
