@@ -177,6 +177,8 @@ def step_bench() -> dict:
     # Online mode feeds the TRAIN batch shapes (the encoders' outputs), not
     # the raw image/caption batch.
     flops_per_batch = None
+    flops_source = "xla_cost_analysis"
+    step_in = batch
     try:
         if online:
             step_in = jax.eval_shape(encode_fn, frozen, batch, rng)
@@ -185,8 +187,6 @@ def step_bench() -> dict:
                 step_in = jax.tree.map(
                     lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
                                                    sharding=b_sh), step_in)
-        else:
-            step_in = batch
         lowered = train_step.lower(params, opt_state, step_in, rng)
         ca = lowered.cost_analysis()
         if isinstance(ca, (list, tuple)):
@@ -198,6 +198,18 @@ def step_bench() -> dict:
     except Exception as e:  # noqa: BLE001 — bench must still run
         sys.stderr.write(f"AOT lowering unavailable ({type(e).__name__}: "
                          f"{e}); falling back to implicit jit\n")
+    if flops_per_batch is None:
+        # the axon relay's PJRT client returns no cost analysis: count the
+        # traced jaxpr instead (verdict r3 item 2 — matmul/conv priced
+        # exactly, Pallas flash kernels via their registered estimate)
+        try:
+            from diffusion_tpu.utils.flops import traced_flops
+            flops_per_batch = traced_flops(_train_step_py, params, opt_state,
+                                           step_in, rng) or None
+            flops_source = "traced_jaxpr"
+        except Exception as e:  # noqa: BLE001
+            sys.stderr.write(f"traced-flops fallback failed "
+                             f"({type(e).__name__}: {e})\n")
 
     def run_step(p, o, r):
         b = encode_fn(frozen, batch, r) if online else batch
@@ -258,9 +270,13 @@ def step_bench() -> dict:
         "loss": (float(np.asarray(loss))
                  if np.isfinite(np.asarray(loss)) else None),
     }
+    # raw device kind: makes the _PEAKS mapping fixable when a new chip
+    # string shows up unrecognized (verdict r3 item 2b)
+    result["device_kind"] = jax.local_devices()[0].device_kind
     if flops_per_batch:
         from diffusion_tpu.utils.flops import device_peak_flops
         result["flops_per_batch"] = flops_per_batch
+        result["flops_source"] = flops_source
         peak = device_peak_flops()
         if peak:
             result["mfu"] = round(flops_per_batch / dt / n_dev / peak, 4)
@@ -332,6 +348,32 @@ def _make_jpeg_mds(out_dir: str, n_samples: int, res: int) -> None:
             buf = io.BytesIO()
             Image.fromarray(arr).save(buf, format="JPEG", quality=90)
             w.write({"image": buf.getvalue(), "caption": f"sample {i}"})
+
+
+def latest_e2e_demand(default: float = 137.8) -> float:
+    """Per-chip e2e training demand from the newest driver bench artifact
+    (BENCH_r<N>.json at the repo root); `default` = the round-3 capture."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_round, best = -1, default
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) <= best_round:
+            continue
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+            val = parsed.get("e2e_per_chip") or (
+                parsed.get("value")
+                if str(parsed.get("metric", "")).startswith(
+                    "trainer_e2e_throughput") else None)
+            if val:
+                best_round, best = int(m.group(1)), float(val)
+        except Exception:  # noqa: BLE001 — artifact formats may drift
+            continue
+    return best
 
 
 def data_bench(res: int = 256) -> dict:
@@ -424,8 +466,11 @@ def data_bench(res: int = 256) -> dict:
                                       resize_size=res, num_workers=workers)
     wds_rate, _ = rate(wds_loader)
 
-    # demand: the driver-measured e2e training rate per chip (BENCH_r02)
-    demand = float(os.environ.get("BENCH_DATA_DEMAND", "129.2"))
+    # demand: the driver-measured e2e training rate per chip, read from the
+    # newest BENCH_r*.json so it never goes stale (verdict r3 weak #3);
+    # 137.8 = BENCH_r03 as the fallback when no artifact is present
+    demand = float(os.environ.get("BENCH_DATA_DEMAND", "0")) \
+        or latest_e2e_demand()
     return {
         "metric": f"input_pipeline_mds_img_per_sec_{res}px",
         "value": round(mds_rate, 2),
@@ -535,7 +580,268 @@ def e2e_bench(res: int, steps: int = 24, skip: int = 4) -> dict:
         "e2e_per_chip": round(e2e / n_dev, 2),
         "e2e_steps_timed": len(timed),
         "e2e_total_s": round(total, 1),
+        "n_devices": n_dev,
     }
+
+
+def _make_overfit_mds(out_dir: str, n_unique: int, res: int):
+    """Fixed overfit set: `n_unique` distinct (latent, caption-latent) pairs.
+    Latents are STRUCTURED (per-channel random block patterns, unit
+    variance) so memorization is checkable by nearest-neighbor distance and
+    the sample grid is visually interpretable; caption latents are distinct
+    random keys the UNet's cross-attention can memorize against.
+    Returns (latents_nhwc float32, caption_latents float32) and writes the
+    MDS shards (wire format of scripts/precompute_latents.py)."""
+    import shutil
+
+    import numpy as np
+
+    from diffusion_tpu.data.mds import MDSWriter
+
+    lat = res // 8
+    ctx = _bench_ctx_dim()
+    rng = np.random.default_rng(1138)
+    block = max(1, lat // 4)   # 4x4 block grid per channel
+    base = rng.standard_normal((n_unique, lat // block, lat // block, 4))
+    lats = np.kron(base, np.ones((1, block, block, 1)))
+    lats = (lats - lats.mean(axis=(1, 2, 3), keepdims=True)) / (
+        lats.std(axis=(1, 2, 3), keepdims=True) + 1e-8)
+    lats = lats.astype(np.float32)                       # (N, lat, lat, 4)
+    caps = rng.standard_normal((n_unique, 77, ctx)).astype(np.float32)
+
+    index = os.path.join(out_dir, "index.json")
+    if os.path.exists(index):
+        with open(index) as f:
+            if sum(s["samples"] for s in json.load(f)["shards"]) == n_unique:
+                return lats, caps
+        shutil.rmtree(out_dir)
+    cols = {"jpg": "bytes", "caption": "str",
+            "caption_latents": "bytes", f"latents_{res}": "bytes"}
+    with MDSWriter(out_dir, cols) as w:
+        for i in range(n_unique):
+            w.write({
+                "jpg": b"",
+                "caption": f"overfit sample {i}",
+                "caption_latents": caps[i].astype(np.float16).tobytes(),
+                # loader contract is NCHW fp16 bytes (reference
+                # precompute_latents.py:252-281)
+                f"latents_{res}": np.transpose(lats[i], (2, 0, 1))
+                .astype(np.float16).tobytes(),
+            })
+    return lats, caps
+
+
+def converge_bench(res: int = 256) -> dict:
+    """Overfit-convergence proof (verdict r3 item 1): the REAL composition
+    path (build_trainer -> Trainer.fit with EMA + warmup LR schedule + the
+    MDS data layer) drives training loss from the ~1.0 noise floor of an
+    untrained epsilon-predictor well below it on a small fixed set, then
+    DDIM-samples from the EMA weights conditioned on the training captions
+    and checks the generated latents land on the memorized training latents
+    (nearest-neighbor MSE + caption->sample match rate). This is the
+    'does the stack learn' evidence behind the reference's training curve
+    (reference README.md:23-60, assets/training-curve.png)."""
+    import functools
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusion_tpu.train.events import Callback
+    from diffusion_tpu.train.train import build_trainer
+
+    n_dev = jax.device_count()
+    per_chip = int(os.environ.get("BENCH_CONVERGE_BATCH", "16"))
+    bsz = per_chip * n_dev
+    steps = int(os.environ.get("BENCH_CONVERGE_STEPS", "500"))
+    n_unique = max(bsz, int(os.environ.get("BENCH_CONVERGE_UNIQUE", "64")))
+    lr = float(os.environ.get("BENCH_CONVERGE_LR", "2e-4"))
+    wd = float(os.environ.get("BENCH_CONVERGE_WD", "0.0"))
+    mu_dtype = os.environ.get("BENCH_CONVERGE_MU", "float32")
+    data_dir = os.path.join(tempfile.gettempdir(),
+                            f"diffusion_tpu_converge_{res}_{n_unique}_"
+                            f"{_bench_ctx_dim()}")
+    lats, caps = _make_overfit_mds(data_dir, n_unique, res)
+
+    class _LossProbe(Callback):
+        """Collect the per-step loss/grad-norm device arrays; every
+        `report` steps fetch the latest pair to host — live stderr
+        progress, and the fetch throttles the relay's async dispatch
+        (unbounded queues stack transients, see wait_for_backend notes)."""
+
+        def __init__(self, report: int = 25):
+            self.losses = []
+            self.gnorms = []
+            self.report = report
+
+        def batch_end(self, state, logger):
+            self.losses.append(state.loss)   # device arrays; drain at end
+            self.gnorms.append(state.metrics.get("grad/global_norm"))
+            n = len(self.losses)
+            if n % self.report == 0:
+                sys.stderr.write(
+                    f"converge step {n}: loss="
+                    f"{float(np.asarray(self.losses[-1])):.4f} gnorm="
+                    f"{float(np.asarray(self.gnorms[-1])):.3f}\n")
+                sys.stderr.flush()
+
+    probe = _LossProbe()
+    config = {
+        "name": "bench-converge",
+        "seed": 1138,
+        "model": {
+            "_target_": os.environ.get(
+                "BENCH_BUILDER",
+                "diffusion_tpu.models.models.stable_diffusion_2"),
+            "pretrained": False, "precomputed_latents": True,
+            "encode_latents_in_fp16": True, "fsdp": n_dev > 1,
+            # remat on: EMA adds a full fp32 param copy to the resident
+            # state (params + AdamW moments + EMA ~ 12 GB on one 16 GB
+            # chip), so activation transients must stay small
+            "remat": True,
+            "val_metrics": ["MeanSquaredError"],
+            "val_guidance_scales": [], "loss_bins": [],
+        },
+        # overfit defaults differ from the production yamls deliberately:
+        # wd=0 (decoupled decay pulls a memorizing net back toward the
+        # epsilon=0 fixed point) and fp32 Adam moments (bf16 moments
+        # underflow the small late-phase gradients of a near-memorized set)
+        "optimizer": {"lr": lr, "weight_decay": wd, "mu_dtype": mu_dtype},
+        "scheduler": {"t_warmup": os.environ.get("BENCH_CONVERGE_WARMUP",
+                                                 "20ba"),
+                      "milestones": []},
+        "algorithms": {"ema": {
+            "_target_": "diffusion_tpu.algorithms.ema.EMA",
+            "half_life": "50ba", "update_interval": "1ba",
+        }},
+        "dataset": {
+            "train_batch_size": bsz,
+            "train_dataset": {
+                "_target_":
+                    "diffusion_tpu.data.laion.build_streaming_laion_dataloader",
+                "remote": data_dir, "local": None, "batch_size": bsz,
+                "caption_drop_prob": 0.0, "resize_size": res,
+                "precomputed_latents": True, "drop_last": True,
+                "caption_latent_dim": _bench_ctx_dim(),
+                "shuffle": True, "num_workers": 0,
+            },
+        },
+        "trainer": {
+            "max_duration": f"{steps}ba",
+            "eval_interval": "1000000ba",
+            "save_interval": "1000000ba",
+            "run_name": "bench-converge",
+            "seed": 1138,
+        },
+    }
+    trainer = build_trainer(config)
+    trainer.engine.callbacks.append(probe)
+    t0 = time.perf_counter()
+    trainer.fit()
+    fit_s = time.perf_counter() - t0
+    losses = [float(np.asarray(x)) for x in probe.losses]
+    gnorms = [float(np.asarray(x)) for x in probe.gnorms]
+    trainer.close()
+
+    model, frozen = trainer.model, trainer.frozen
+    ts = trainer.train_state
+    ema = ts.ema_params if ts.ema_params is not None else ts.params
+
+    # EMA loss on the overfit set, fixed eval noise stream
+    full = {"image_latents": jnp.asarray(lats),
+            "caption_latents": jnp.asarray(caps)}
+    loss_j = jax.jit(model.loss_fn)
+    ema_losses = [float(np.asarray(loss_j(
+        ema, frozen, full, jax.random.fold_in(jax.random.key(123), i))))
+        for i in range(4)]
+
+    # free what generation doesn't need (the optimizer moments and, when
+    # EMA is a separate copy, the raw training params) before compiling
+    # the sampler — on a 16 GB chip the two together are ~8.7 GB
+    jax.tree.map(lambda x: x.delete(), ts.opt_state)
+    if ts.ema_params is not None:
+        jax.tree.map(lambda x: x.delete(), ts.params)
+
+    # DDIM-sample from the EMA weights conditioned on training captions;
+    # latent-space output (random frozen towers make pixel decode
+    # meaningless here), CFG scale 1 = pure conditional
+    k = min(8, n_unique)
+    gen_steps = int(os.environ.get("BENCH_CONVERGE_GEN_STEPS", "50"))
+    gen = jax.jit(functools.partial(
+        model.generate, height=res, width=res, guidance_scale=1.0,
+        num_inference_steps=gen_steps, output_type="latent"))
+    gen_lat = np.asarray(gen(
+        ema, {}, prompt_embeds=jnp.asarray(caps[:k]),
+        negative_prompt_embeds=jnp.zeros_like(jnp.asarray(caps[:k])),
+        seed=42), np.float32)                          # (k, lat, lat, 4)
+
+    # nearest-neighbor check: does each generation land on the training
+    # latent its caption keys to?
+    d = ((gen_lat[:, None] - lats[None]) ** 2).mean(axis=(2, 3, 4))  # (k, N)
+    nn = d.min(axis=1)
+    paired = d[np.arange(k), np.arange(k)]
+    match = (d.argmin(axis=1) == np.arange(k)).mean()
+    # scale reference: distance between DISTINCT train latents (~2.0 for
+    # unit-variance independent patterns)
+    off = d[np.arange(k), (np.arange(k) + 1) % n_unique].mean()
+
+    grid_path = os.environ.get("BENCH_CONVERGE_GRID", "")
+    if grid_path:
+        _save_latent_grid(grid_path, gen_lat, lats[:k])
+
+    loss_start = float(np.mean(losses[:3])) if losses else None
+    loss_end = float(np.mean(losses[-10:])) if losses else None
+    every = max(1, len(losses) // 20)
+    return {
+        "loss_curve": [round(float(x), 4) for x in losses[::every]],
+        "metric": "overfit_convergence_train_mse",
+        "value": round(loss_end, 4),
+        "unit": "mse (untrained epsilon floor = 1.0)",
+        "vs_baseline": round(loss_end, 4),
+        "loss_start": round(loss_start, 4),
+        "loss_end": round(loss_end, 4),
+        "loss_min": round(float(np.min(losses)), 4),
+        "ema_loss": round(float(np.mean(ema_losses)), 4),
+        "converge_steps": len(losses),
+        "converge_unique_samples": n_unique,
+        "converge_batch": bsz,
+        "converge_lr": lr,
+        "converge_wd": wd,
+        "converge_mu_dtype": mu_dtype,
+        "gnorm_curve": [round(x, 3) for x in gnorms[::every]],
+        "converge_fit_s": round(fit_s, 1),
+        "sample_nn_mse": round(float(nn.mean()), 4),
+        "sample_paired_mse": round(float(paired.mean()), 4),
+        "sample_offpair_mse": round(float(off), 4),
+        "caption_match_frac": round(float(match), 4),
+    }
+
+
+def _save_latent_grid(path: str, gen_lat, train_lat) -> None:
+    """Side-by-side grid PNG: row i = generated latent i | training latent
+    i (first 3 channels as RGB, unit-variance latents mapped via x/4+0.5)."""
+    import numpy as np
+    from PIL import Image
+
+    def tile(x):
+        x = np.clip(np.asarray(x, np.float32)[..., :3] / 4.0 + 0.5, 0, 1)
+        return (x * 255).astype(np.uint8)
+
+    g, t = tile(gen_lat), tile(train_lat)
+    k, h, w, _ = g.shape
+    pad = 2
+    canvas = np.full((k * (h + pad) - pad, 2 * w + 3 * pad, 3), 255, np.uint8)
+    for i in range(k):
+        r = i * (h + pad)
+        canvas[r:r + h, pad:pad + w] = g[i]
+        canvas[r:r + h, 2 * pad + w:2 * pad + 2 * w] = t[i]
+    scale = max(1, 256 // max(h, 1) // 4)
+    img = Image.fromarray(canvas)
+    img = img.resize((img.width * scale * 4, img.height * scale * 4),
+                     Image.NEAREST)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    img.save(path)
 
 
 def wait_for_backend(max_wait_s: Optional[float] = None) -> None:
@@ -570,16 +876,12 @@ def wait_for_backend(max_wait_s: Optional[float] = None) -> None:
         time.sleep(120)
 
 
-def main() -> None:
-    import os
-
-    res = int(os.environ.get("BENCH_RES", "256"))
-    if os.environ.get("BENCH_DATA", "0") == "1":
-        # input-pipeline-only mode: host decode throughput, no TPU
-        print(json.dumps(data_bench(res)))
-        return
-    wait_for_backend()
-    result = step_bench()
+def run_phases(res: int) -> dict:
+    """In-process step + e2e measurement (the pre-round-4 bench body).
+    BENCH_STEP=0 skips the synthetic step bench (used by the 512px extra,
+    which only needs the e2e Trainer number)."""
+    run_step = os.environ.get("BENCH_STEP", "1") == "1"
+    result = step_bench() if run_step else {}
     # the online-encode step bench is a different pipeline from the
     # precomputed-path e2e bench; step_bench already tags its metric
     # `unet_train_online_...`, so just skip the e2e headline override there
@@ -587,18 +889,20 @@ def main() -> None:
     if not online_step and os.environ.get("BENCH_E2E", "1") == "1":
         try:
             e2e = e2e_bench(res)
-            e2e["e2e_frac_of_step"] = round(
-                e2e["e2e_per_chip"] / result["value"], 4)
+            if run_step:
+                e2e["e2e_frac_of_step"] = round(
+                    e2e["e2e_per_chip"] / result["value"], 4)
+                result["step_per_chip"] = result["value"]
             result.update(e2e)
             # The HEADLINE is the end-to-end Trainer number: the reference's
             # README.md:54-60 throughput is full-trainer (input pipeline,
             # events, logging), and the pipelined fit loop overlaps the
             # host round-trip that the serialized synthetic step pays per
             # step. step-bench value stays as `step_per_chip`.
-            result["step_per_chip"] = result["value"]
             result["metric"] = (
                 f"trainer_e2e_throughput_{res}px_per_chip")
             result["value"] = e2e["e2e_per_chip"]
+            result["unit"] = "img/s/chip"
             result["vs_baseline"] = round(
                 e2e["e2e_per_chip"] / baseline_per_chip(res), 4)
             result["total_img_per_sec"] = e2e["e2e_img_per_sec"]
@@ -615,7 +919,124 @@ def main() -> None:
                         per_img * e2e["e2e_per_chip"] / peak, 4)
         except Exception as exc:  # noqa: BLE001 — headline number must survive
             result["e2e_error"] = f"{type(exc).__name__}: {exc}"[:200]
-    print(json.dumps(result))
+    return result
+
+
+def _run_child(env_extra: dict, budget_s: float,
+               argv: Optional[list] = None) -> dict:
+    """Run one bench phase in a SUBPROCESS and parse its one-line JSON.
+    Isolation is the point: each phase gets the whole HBM (no paging from
+    a previous phase's leftovers), and a phase crash degrades to an
+    `*_error` key instead of killing the driver's headline line."""
+    import subprocess
+
+    env = dict(os.environ)
+    env.update({k: str(v) for k, v in env_extra.items()})
+    cmd = [sys.executable] + (argv or [os.path.abspath(__file__)])
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                          timeout=max(60.0, budget_s))
+    sys.stderr.write(proc.stderr[-4000:])
+    if proc.returncode != 0:
+        raise RuntimeError(f"rc={proc.returncode}: {proc.stderr[-300:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def orchestrate(res: int) -> dict:
+    """Default driver run: every phase in its own subprocess, merged into
+    ONE JSON line. Phases in priority order under a total time budget
+    (BENCH_BUDGET_S): headline step+e2e, overfit convergence (verdict r3
+    item 1), 512px e2e co-headline (item 2), serving samples/min (item 7).
+    The persistent XLA compile cache (inherited via env) makes repeat runs
+    trace-only."""
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+    t0 = time.monotonic()
+
+    def left() -> float:
+        return budget - (time.monotonic() - t0)
+
+    base_env = {"BENCH_EXTRAS": "0"}
+    try:
+        result = _run_child(base_env, max(left(), 600))
+    except Exception as exc:  # noqa: BLE001
+        # headline child died: still emit a valid driver line
+        result = {"metric": f"trainer_e2e_throughput_{res}px_per_chip",
+                  "value": 0.0, "unit": "img/s/chip", "vs_baseline": 0.0,
+                  "headline_error": f"{type(exc).__name__}: {exc}"[:300]}
+
+    phases = []
+    if os.environ.get("BENCH_CONVERGE_PHASE", "1") == "1":
+        phases.append(("converge", {"BENCH_CONVERGE": "1", **base_env}, None,
+                       ("loss_start", "loss_end", "loss_min", "ema_loss",
+                        "converge_steps", "converge_unique_samples",
+                        "converge_batch", "converge_lr", "converge_fit_s",
+                        "sample_nn_mse", "sample_paired_mse",
+                        "sample_offpair_mse", "caption_match_frac")))
+    if os.environ.get("BENCH_512", "1") == "1" and res == 256:
+        phases.append(("e2e_512", {"BENCH_RES": "512", "BENCH_STEP": "0",
+                                   **base_env}, None, ()))
+    if os.environ.get("BENCH_SAMPLING", "1") == "1":
+        script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "bench_sampling.py")
+        tiny = "tiny" in os.environ.get("BENCH_BUILDER", "")
+        size = "64" if tiny else "256"
+        common = [script, "--size", size, "--batch", "4"] + (
+            ["--tiny"] if tiny else [])
+        phases.append(("serve_ddim50", base_env,
+                       common + ["--steps", "50"], ()))
+        phases.append(("serve_dpmpp2m20", base_env,
+                       common + ["--steps", "20", "--scheduler", "dpm++2m"],
+                       ()))
+
+    for name, env_extra, argv, keys in phases:
+        if left() < 120:
+            result[f"{name}_skipped"] = "time budget exhausted"
+            continue
+        try:
+            child = _run_child(env_extra, left(), argv)
+        except Exception as exc:  # noqa: BLE001
+            result[f"{name}_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        if name == "converge":
+            for k in keys:
+                if k in child:
+                    result[k] = child[k]
+        elif name == "e2e_512":
+            result["e2e_512_per_chip"] = child.get("e2e_per_chip", 0.0)
+            result["e2e_512_img_per_sec"] = child.get("e2e_img_per_sec", 0.0)
+            result["vs_baseline_512"] = child.get("vs_baseline", 0.0)
+        else:  # sampling phases
+            result[f"{name}_samples_per_min"] = child.get("value", 0.0)
+    result["bench_total_s"] = round(time.monotonic() - t0, 1)
+    return result
+
+
+def main() -> None:
+    res = int(os.environ.get("BENCH_RES", "256"))
+    if os.environ.get("BENCH_DATA", "0") == "1":
+        # input-pipeline-only mode: host decode throughput, no TPU
+        print(json.dumps(data_bench(res)))
+        return
+    # persistent compile cache: phases run in subprocesses and driver runs
+    # repeat across rounds — replaying executables from disk makes every
+    # compile after the first trace-only (utils/compile_cache.py)
+    if os.environ.get("BENCH_COMPILE_CACHE", "1") == "1":
+        cache = os.path.expanduser("~/.cache/diffusion_tpu_xla_bench")
+        os.environ.setdefault("DIFFUSION_TPU_COMPILE_CACHE", cache)
+        try:
+            from diffusion_tpu.utils.compile_cache import enable_compile_cache
+            enable_compile_cache()
+        except Exception:  # noqa: BLE001 — cache is an optimization only
+            pass
+    if os.environ.get("BENCH_CONVERGE", "0") == "1":
+        wait_for_backend()
+        print(json.dumps(converge_bench(res)))
+        return
+    wait_for_backend()
+    online = os.environ.get("BENCH_ONLINE", "0") == "1"
+    if os.environ.get("BENCH_EXTRAS", "1") == "1" and not online:
+        print(json.dumps(orchestrate(res)))
+        return
+    print(json.dumps(run_phases(res)))
 
 
 if __name__ == "__main__":

@@ -16,7 +16,8 @@ reference.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterator, List, Mapping, Optional, Sequence
+import logging
+from typing import Any, Dict, Iterator, Mapping, Optional
 
 from diffusion_tpu.config import instantiate
 from diffusion_tpu.data.datapipes import batcher, length_sync, sample_multiplexer
@@ -27,8 +28,9 @@ __all__ = ["MixPipeline", "build_mix_dataloader"]
 class _Samples:
     """Adapter: iterate a batch-pipeline's samples (batch_size=1, unbatched)."""
 
-    def __init__(self, pipe: Any):
+    def __init__(self, pipe: Any, name: str = ""):
         self.pipe = pipe
+        self.name = name
 
     def __iter__(self) -> Iterator[Any]:
         for batch in self.pipe:
@@ -59,6 +61,23 @@ class MixPipeline:
     def load_state_dict(self, d: Dict[str, int]) -> None:
         self._epoch = int(d.get("epoch", 0))
 
+    def describe(self) -> str:
+        """Text rendering of the composed pipeline graph — the debugging
+        analog of the reference's to_graph PDF dump (reference
+        mix_datapipe.py:98-100): every source with its normalized weight,
+        then the stage chain each batch flows through."""
+        lines = [f"MixPipeline(batch_size={self.batch_size}, "
+                 f"seed={self.seed}, drop_last={self.drop_last})"]
+        for pipe, weight in self.pipes_to_weights.items():
+            name = getattr(pipe, "name", "") or type(pipe).__name__
+            inner = getattr(pipe, "pipe", pipe)
+            lines.append(f"  source {name} (weight {weight:.4f}): "
+                         f"{type(inner).__name__}")
+        lines.append("  stages: sample_multiplexer(seed+epoch) -> "
+                     f"batcher(batch_size={self.batch_size}, "
+                     f"drop_last={self.drop_last}) -> length_sync")
+        return "\n".join(lines)
+
 
 def build_mix_dataloader(
     datapipes: Mapping[str, Mapping[str, Any]],
@@ -84,6 +103,9 @@ def build_mix_dataloader(
             tokenizer_name_or_path=tokenizer_name_or_path,
             resize_size=resize_size, caption_drop_prob=caption_drop_prob,
             filter_strategy=filter_strategy, drop_last=True)
-        pipes_to_weights[_Samples(child)] = weight
-    return MixPipeline(pipes_to_weights, batch_size=batch_size, seed=seed,
-                       drop_last=drop_last)
+        pipes_to_weights[_Samples(child, name=name)] = weight
+    mix = MixPipeline(pipes_to_weights, batch_size=batch_size, seed=seed,
+                      drop_last=drop_last)
+    for line in mix.describe().splitlines():
+        logging.getLogger(__name__).info("%s", line)
+    return mix

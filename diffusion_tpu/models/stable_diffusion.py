@@ -29,8 +29,7 @@ Batch contract (NHWC, features-last):
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +37,7 @@ import jax.numpy as jnp
 from diffusion_tpu.models.clip import CLIPTextModel
 from diffusion_tpu.models.unet import UNet2DCondition
 from diffusion_tpu.models.vae import AutoencoderKL
-from diffusion_tpu.schedulers import ContinuousTimeScheduler, DDIMScheduler, DDPMScheduler
+from diffusion_tpu.schedulers import DDPMScheduler
 
 __all__ = ["StableDiffusion"]
 
@@ -344,7 +343,8 @@ class StableDiffusion:
                  image: Optional[jnp.ndarray] = None,
                  strength: float = 0.8,
                  mask: Optional[jnp.ndarray] = None,
-                 guidance_rescale: float = 0.0) -> jnp.ndarray:
+                 guidance_rescale: float = 0.0,
+                 output_type: str = "image") -> jnp.ndarray:
         """Text -> images in [0, 1], (B, H, W, 3). Same seed => same images
         (reference seeds a torch Generator, ref :322-326; here a jax key).
 
@@ -463,6 +463,14 @@ class StableDiffusion:
                                     guidance_scale, num_inference_steps,
                                     t_start=t_start, inpaint=inpaint,
                                     guidance_rescale=guidance_rescale)
+        if output_type == "latent":
+            # model-space latents (still x latent_scale) — diffusers'
+            # output_type="latent" surface; with prompt_embeds this path
+            # never touches the frozen towers (convergence/latent evals)
+            return latents
+        if output_type != "image":
+            raise ValueError(f"output_type must be 'image' or 'latent', "
+                             f"got {output_type!r}")
         images = self.vae.apply(frozen["vae"], latents / self.latent_scale,
                                 method=self.vae.decode)
         return jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)

@@ -26,6 +26,15 @@ def test_bench_emits_driver_contract(tmp_path):
         "BENCH_RES": "32",
         "BENCH_CTX_DIM": "32",
         "BENCH_BATCH_PER_CHIP": "2",
+        # convergence phase at CI scale (keys must appear; the loss only
+        # actually falls in the driver's real-chip run)
+        "BENCH_CONVERGE_STEPS": "6",
+        "BENCH_CONVERGE_UNIQUE": "16",
+        "BENCH_CONVERGE_BATCH": "1",
+        "BENCH_CONVERGE_GEN_STEPS": "4",
+        # the sampling subprocesses have their own scripts/ test surface;
+        # skipping them keeps this smoke within the CI budget
+        "BENCH_SAMPLING": "0",
         "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
         # keep the synthetic dataset inside the test sandbox
         "TMPDIR": str(tmp_path),
@@ -44,3 +53,8 @@ def test_bench_emits_driver_contract(tmp_path):
     assert result["metric"].startswith("trainer_e2e_throughput")
     assert result["flops_per_batch"] > 0
     assert result["e2e_steps_timed"] > 0
+    # the convergence phase merged its keys into the one driver line
+    for key in ("loss_start", "loss_end", "ema_loss", "converge_steps",
+                "sample_nn_mse", "caption_match_frac"):
+        assert key in result, (key, result)
+    assert result["converge_steps"] == 6

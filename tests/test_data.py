@@ -11,12 +11,13 @@ import pytest
 from PIL import Image
 
 from diffusion_tpu.data.dataloader import DataLoader, default_collate
-from diffusion_tpu.data.datapipes import (WdsPipeline, batcher, list_shards,
-                                          sample_multiplexer, sample_shuffle,
-                                          tar_samples)
+from diffusion_tpu.data.datapipes import (list_shards,
+    sample_multiplexer,
+    sample_shuffle,
+    tar_samples)
 from diffusion_tpu.data.filters import filter_fn
 from diffusion_tpu.data.mds import MDSIndex, MDSShardReader, MDSWriter
-from diffusion_tpu.data.streaming import Stream, StreamingDataset
+from diffusion_tpu.data.streaming import StreamingDataset
 from diffusion_tpu.data.transforms import (CenterCropSDTransform,
                                            LargestCenterSquare, sd_normalize)
 
@@ -371,6 +372,13 @@ def test_mix_dataloader(tmp_path):
     batches = list(iter(dl))
     assert len(batches) == 4
     assert batches[0]["image"].shape == (4, 16, 16, 3)
+    # introspection: the text pipeline graph names every source with its
+    # normalized weight and the stage chain (reference renders this graph
+    # to datapipes.pdf, mix_datapipe.py:98-100)
+    graph = dl.describe()
+    assert "source a (weight 0.7500)" in graph
+    assert "source b (weight 0.2500)" in graph
+    assert "sample_multiplexer" in graph and "length_sync" in graph
 
 
 def test_laion_precomputed_latents(tmp_path):

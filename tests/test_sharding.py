@@ -1,6 +1,5 @@
 """Mesh + partition-spec rules (pjit sharding on the virtual CPU mesh)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -79,6 +78,7 @@ def test_param_shardings_tree():
     assert sh_rep["a"].spec == P()
 
 
+@pytest.mark.slow
 def test_multichip_step_compiles_without_spmd_remat(capfd):
     """The fused train step on a dcn x fsdp x data mesh must compile with
     ZERO '[SPMD] Involuntary full rematerialization' warnings — the
@@ -110,6 +110,7 @@ def test_multichip_step_compiles_without_spmd_remat(capfd):
                     if "Involuntary" in l)[:2000])
 
 
+@pytest.mark.slow
 def test_sp_step_compiles_without_spmd_remat(capfd):
     """Same zero-SPMD-remat pin for the sequence-parallel mesh. 64px (8x8
     latent) keeps >=2 spatial rows per sp shard at every UNet stage — the

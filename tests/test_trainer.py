@@ -64,6 +64,7 @@ def trained(tmp_path_factory):
     return tr, recorder, save, eval_results
 
 
+@pytest.mark.slow
 def test_fit_counts_time(trained):
     tr, _, _, _ = trained
     assert tr.state.timestamp.batch == 6
@@ -72,6 +73,7 @@ def test_fit_counts_time(trained):
     assert np.isfinite(float(np.asarray(tr.state.loss)))
 
 
+@pytest.mark.slow
 def test_params_sharded_over_fsdp(trained):
     tr, _, _, _ = trained
     assert tr.mesh.shape["fsdp"] == 8
@@ -82,6 +84,7 @@ def test_params_sharded_over_fsdp(trained):
     assert all("fsdp" not in str(s) for s in fspecs)  # frozen replicated
 
 
+@pytest.mark.slow
 def test_ema_tracks_and_swaps(trained):
     tr, _, _, _ = trained
     ts = tr.train_state
@@ -99,12 +102,14 @@ def test_ema_tracks_and_swaps(trained):
     np.testing.assert_array_equal(np.asarray(p_before), np.asarray(p_after))
 
 
+@pytest.mark.slow
 def test_eval_loop_mse(trained):
     _, _, _, results = trained
     key = "metrics/cocoval/MeanSquaredError"
     assert key in results and np.isfinite(results[key])
 
 
+@pytest.mark.slow
 def test_event_ordering(trained):
     _, recorder, _, _ = trained
     events = recorder.events
@@ -117,6 +122,7 @@ def test_event_ordering(trained):
     assert Event.EVAL_START in events and Event.EVAL_END in events
 
 
+@pytest.mark.slow
 def test_checkpoints_written(trained):
     _, _, save, _ = trained
     names = sorted(os.listdir(save))
@@ -185,6 +191,7 @@ def test_prune_checkpoints_retention(tmp_path):
     assert os.path.exists(os.path.join(folder, "ba5", "meta.json"))
 
 
+@pytest.mark.slow
 def test_sigterm_checkpoints_and_exits(tmp_path):
     """A SIGTERM mid-fit (pod preemption notice) stops the step loop at the
     next batch boundary, writes a durable checkpoint at that batch, and a
@@ -224,6 +231,7 @@ def test_sigterm_checkpoints_and_exits(tmp_path):
     assert resumed.state.timestamp.batch == 6
 
 
+@pytest.mark.slow
 def test_remote_checkpoint_mirror_and_resume(tmp_path):
     """save_remote mirrors each finalized checkpoint to an object-store URI
     (local-path backend here); a fresh host with an EMPTY local save_folder
@@ -252,6 +260,7 @@ def test_remote_checkpoint_mirror_and_resume(tmp_path):
     assert ckpt.sync_from_remote(fresh, remote) is None
 
 
+@pytest.mark.slow
 def test_skip_nonfinite_updates_guards_params():
     """A poisoned batch (NaN pixels -> NaN loss/grads) leaves params,
     moments, and EMA untouched and reports the skip; a clean batch still
@@ -296,6 +305,7 @@ def test_skip_nonfinite_updates_guards_params():
     assert changed
 
 
+@pytest.mark.slow
 def test_bucket_save_folder_splits_into_stage_plus_remote():
     """Composer drop-in parity: save_folder may be a bucket URI; the trainer
     stages locally and mirrors to the bucket."""
@@ -307,6 +317,7 @@ def test_bucket_save_folder_splits_into_stage_plus_remote():
     assert "bucket-split-test" in tr.save_folder
 
 
+@pytest.mark.slow
 def test_trainer_autoresume_from_remote_only(tmp_path):
     """End-to-end: train with save_remote, lose the local folder entirely,
     autoresume on a 'new host' — the trainer pulls the remote checkpoint."""
@@ -335,6 +346,7 @@ def test_trainer_autoresume_from_remote_only(tmp_path):
     assert tr2.state.timestamp.batch == 2  # resumed from the remote mirror
 
 
+@pytest.mark.slow
 def test_autoresume_and_load_weights_only(trained):
     tr, _, save, _ = trained
     # autoresume picks up ba6 and continues to 8
@@ -371,6 +383,7 @@ def test_autoresume_and_load_weights_only(trained):
         np.asarray(jax.tree.leaves(tr.train_state.ema_params)[0]), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_grad_accumulation_runs():
     # micro size 1/device on 8 devices => bsz 16 -> 2 accumulation steps
     tr = Trainer(
@@ -385,6 +398,7 @@ def test_grad_accumulation_runs():
     assert np.isfinite(float(np.asarray(tr.state.loss)))
 
 
+@pytest.mark.slow
 def test_ema_before_start_tracks_params_exactly():
     tr = Trainer(
         model=tiny_stable_diffusion(),
@@ -400,6 +414,7 @@ def test_ema_before_start_tracks_params_exactly():
     assert max(jax.tree.leaves(d)) == 0  # smoothing 0 => ema == params
 
 
+@pytest.mark.slow
 def test_single_device_plain_path(tmp_path):
     """mesh.size == 1 uses plain (non-SPMD) executables end-to-end,
     including checkpoint save/restore."""
@@ -483,6 +498,7 @@ def test_grad_accum_steps_ceil_semantics():
     assert grad_accum_steps(8, 16) == 1        # batch under the cap
 
 
+@pytest.mark.slow
 def test_load_weights_only_reseeds_ema(trained):
     """load_weights_only must re-copy the LOADED params into ema_params —
     otherwise the EMA starts as the discarded random init and poisons
@@ -547,6 +563,7 @@ class _IndexedDataset:
         }
 
 
+@pytest.mark.slow
 def test_eval_scores_same_slice_every_time():
     """eval_subset_num_batches abandons the eval DataLoader mid-epoch; its
     resumable position (a TRAIN-loader autoresume feature) must not shift
@@ -567,6 +584,7 @@ def test_eval_scores_same_slice_every_time():
     tr.close()
 
 
+@pytest.mark.slow
 def test_eval_hooks_respect_evaluator_metric_names():
     """Per-evaluator metric_names select which generation-metric hooks run
     (reference train.py:48-59 composer Evaluators): an MSE-only evaluator
