@@ -655,10 +655,29 @@ def converge_bench(res: int = 256) -> dict:
     per_chip = int(os.environ.get("BENCH_CONVERGE_BATCH", "16"))
     bsz = per_chip * n_dev
     steps = int(os.environ.get("BENCH_CONVERGE_STEPS", "500"))
-    n_unique = max(bsz, int(os.environ.get("BENCH_CONVERGE_UNIQUE", "64")))
+    # default UNIQUE == batch: every step sees the WHOLE set (full-batch
+    # gradient, no minibatch noise). The batch-16-of-64-uniques runs
+    # collapsed back to the loss-1.0 epsilon=0 fixed point on chip; the
+    # full-batch run converged 1.33 -> 0.022 in 800 steps.
+    n_unique = max(bsz, int(os.environ.get("BENCH_CONVERGE_UNIQUE",
+                                           str(bsz))))
+    # lr 2e-4 + v-pred is the measured-good point: 1.28 -> 0.024 in 500
+    # steps with caption->sample match 8/8 (epsilon @1e-4 needed 800
+    # steps and still mismatched half its captions at sampling time).
     lr = float(os.environ.get("BENCH_CONVERGE_LR", "2e-4"))
     wd = float(os.environ.get("BENCH_CONVERGE_WD", "0.0"))
-    mu_dtype = os.environ.get("BENCH_CONVERGE_MU", "float32")
+    # bf16 first moment: fp32 mu OOMs the 16 GB chip (params + mu + nu +
+    # EMA all fp32 = 13.9 GB before activations; measured 15.90/15.75 G).
+    # nu (the sqrt denominator, where precision matters) stays fp32.
+    mu_dtype = os.environ.get("BENCH_CONVERGE_MU", "bfloat16")
+    # v-prediction by default: the untrained floor is still E[v^2] = 1.0
+    # for unit-variance latents, but unlike epsilon-MSE (whose high-t x0
+    # signal is suppressed by sqrt(abar)/sqrt(1-abar) ~ 0.006 at t=999,
+    # so a memorizing net can reach loss 0.02 yet sample the wrong basin)
+    # the v target weights x0 error by sqrt(1-abar) — sampling fidelity
+    # tracks the training loss. Measured on-chip: epsilon got paired-MSE
+    # 0.94 vs offpair 1.18 and caption match 4/8 at loss 0.022.
+    pred = os.environ.get("BENCH_CONVERGE_PRED", "v_prediction")
     data_dir = os.path.join(tempfile.gettempdir(),
                             f"diffusion_tpu_converge_{res}_{n_unique}_"
                             f"{_bench_ctx_dim()}")
@@ -700,6 +719,7 @@ def converge_bench(res: int = 256) -> dict:
             # state (params + AdamW moments + EMA ~ 12 GB on one 16 GB
             # chip), so activation transients must stay small
             "remat": True,
+            "prediction_type": pred,
             "val_metrics": ["MeanSquaredError"],
             "val_guidance_scales": [], "loss_bins": [],
         },
@@ -809,6 +829,7 @@ def converge_bench(res: int = 256) -> dict:
         "converge_lr": lr,
         "converge_wd": wd,
         "converge_mu_dtype": mu_dtype,
+        "converge_prediction_type": pred,
         "gnorm_curve": [round(x, 3) for x in gnorms[::every]],
         "converge_fit_s": round(fit_s, 1),
         "sample_nn_mse": round(float(nn.mean()), 4),
@@ -948,7 +969,11 @@ def orchestrate(res: int) -> dict:
     item 1), 512px e2e co-headline (item 2), serving samples/min (item 7).
     The persistent XLA compile cache (inherited via env) makes repeat runs
     trace-only."""
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+    # 55 min: headline ~6 + converge ~25 (trace dominates; fit is 500
+    # steps) + 512px ~6 + sampling 2x ~4, all with a warm XLA disk cache.
+    # Incremental line-printing above makes an external kill degrade to
+    # the phases that finished rather than an empty artifact.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "3300"))
     t0 = time.monotonic()
 
     def left() -> float:
@@ -963,12 +988,18 @@ def orchestrate(res: int) -> dict:
                   "value": 0.0, "unit": "img/s/chip", "vs_baseline": 0.0,
                   "headline_error": f"{type(exc).__name__}: {exc}"[:300]}
 
+    # kill-safety: the driver parses the LAST complete stdout line, so
+    # print the merged result after every phase — if the whole bench is
+    # killed mid-phase, the most complete snapshot so far still lands
+    print(json.dumps(result), flush=True)
+
     phases = []
     if os.environ.get("BENCH_CONVERGE_PHASE", "1") == "1":
         phases.append(("converge", {"BENCH_CONVERGE": "1", **base_env}, None,
                        ("loss_start", "loss_end", "loss_min", "ema_loss",
                         "converge_steps", "converge_unique_samples",
                         "converge_batch", "converge_lr", "converge_fit_s",
+                        "converge_prediction_type",
                         "sample_nn_mse", "sample_paired_mse",
                         "sample_offpair_mse", "caption_match_frac")))
     if os.environ.get("BENCH_512", "1") == "1" and res == 256:
@@ -1006,6 +1037,8 @@ def orchestrate(res: int) -> dict:
             result["vs_baseline_512"] = child.get("vs_baseline", 0.0)
         else:  # sampling phases
             result[f"{name}_samples_per_min"] = child.get("value", 0.0)
+        result["bench_total_s"] = round(time.monotonic() - t0, 1)
+        print(json.dumps(result), flush=True)  # kill-safe snapshot
     result["bench_total_s"] = round(time.monotonic() - t0, 1)
     return result
 
