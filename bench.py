@@ -407,15 +407,15 @@ def data_bench(res: int = 256) -> dict:
     os.makedirs(mds_dir, exist_ok=True)
     _make_jpeg_mds(mds_dir, n, src)
 
-    def rate(loader):
+    def rate(loader, key="image"):
         it = iter(loader)
         first = next(it)  # warmup: worker spin-up + first buffers
-        seen = first["image"].shape[0] if hasattr(first["image"], "shape") \
-            else len(first["image"])
+        seen = first[key].shape[0] if hasattr(first[key], "shape") \
+            else len(first[key])
         t0 = time.perf_counter()
         timed = 0
         for batch in it:
-            timed += batch["image"].shape[0]
+            timed += batch[key].shape[0]
         dt = time.perf_counter() - t0
         return timed / dt if dt > 0 else float("inf"), seen + timed
 
@@ -438,9 +438,24 @@ def data_bench(res: int = 256) -> dict:
             worker_type="process")
         proc_rate, _ = rate(proc_loader)
 
-    # wds tar pipeline over the same images
-    tar_dir = os.path.join(root, "tars")
-    manifest = os.path.join(root, "shards.json")
+    # precomputed-latent LAION loader: the feed of the PRODUCTION/headline
+    # config (no JPEG decode — fp16 latent + caption-embedding columns).
+    # This is the rate that answers "can this host feed the chips" for the
+    # e2e number the demand constant comes from.
+    lat_dir = os.path.join(root, "latents")
+    os.makedirs(lat_dir, exist_ok=True)
+    _make_latent_mds(lat_dir, n, res)
+    from diffusion_tpu.data.laion import build_streaming_laion_dataloader
+    lat_loader = build_streaming_laion_dataloader(
+        remote=lat_dir, batch_size=bsz, resize_size=res,
+        precomputed_latents=True, num_workers=workers, drop_last=True,
+        shuffle=True, persistent_workers=False)
+    lat_rate, _ = rate(lat_loader, key="image_latents")
+
+    # wds tar pipeline — same source px as the MDS run for a fair decode
+    # comparison (tars keyed on src so a changed BENCH_DATA_SRC rebuilds)
+    tar_dir = os.path.join(root, f"tars_{src}")
+    manifest = os.path.join(root, f"shards_{src}.json")
     if not os.path.exists(manifest):
         os.makedirs(tar_dir, exist_ok=True)
         rng = np.random.default_rng(13)
@@ -448,7 +463,7 @@ def data_bench(res: int = 256) -> dict:
         for t in range(2):
             with tarfile.open(os.path.join(tar_dir, f"{t}.tar"), "w") as tf:
                 for i in range(n // 2):
-                    arr = rng.integers(0, 255, (res, res, 3)).astype(np.uint8)
+                    arr = rng.integers(0, 255, (src, src, 3)).astype(np.uint8)
                     buf = io.BytesIO()
                     Image.fromarray(arr).save(buf, format="JPEG", quality=90)
                     data = buf.getvalue()
@@ -478,9 +493,11 @@ def data_bench(res: int = 256) -> dict:
         "vs_baseline": round(mds_rate / demand, 4),
         "wds_img_per_sec": round(wds_rate, 2),
         "mds_process_workers_img_per_sec": round(proc_rate, 2),
+        "latent_loader_img_per_sec": round(lat_rate, 2),
         "native_core": native_available(),
         "demand_img_per_sec_per_chip": demand,
         "chips_one_host_can_feed": round(mds_rate / demand, 2),
+        "chips_fed_precomputed_latents": round(lat_rate / demand, 2),
         "decode_workers": workers,
         "source_px": src,
         "samples": mds_seen,
