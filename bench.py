@@ -449,7 +449,8 @@ def data_bench(res: int = 256) -> dict:
     lat_loader = build_streaming_laion_dataloader(
         remote=lat_dir, batch_size=bsz, resize_size=res,
         precomputed_latents=True, num_workers=workers, drop_last=True,
-        shuffle=True, persistent_workers=False)
+        shuffle=True, persistent_workers=False,
+        caption_latent_dim=_bench_ctx_dim())
     lat_rate, _ = rate(lat_loader, key="image_latents")
 
     # wds tar pipeline — same source px as the MDS run for a fair decode

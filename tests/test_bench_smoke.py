@@ -58,3 +58,39 @@ def test_bench_emits_driver_contract(tmp_path):
                 "sample_nn_mse", "caption_match_frac"):
         assert key in result, (key, result)
     assert result["converge_steps"] == 6
+
+
+def test_data_bench_emits_pipeline_contract(tmp_path):
+    """BENCH_DATA=1 mode: host-only input-pipeline rates, incl. the
+    precomputed-latent production-feed rate (verdict r3 item 3)."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "BENCH_DATA": "1",
+        "BENCH_DATA_SAMPLES": "96",
+        "BENCH_DATA_SRC": "64",
+        "BENCH_RES": "64",
+        "BENCH_CTX_DIM": "32",
+        "BENCH_DATA_WORKERS": "2",
+        # a fixed demand avoids reading whatever BENCH_r*.json the repo has
+        "BENCH_DATA_DEMAND": "100.0",
+        "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
+        "TMPDIR": str(tmp_path),
+    })
+    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                         env=env, capture_output=True, text=True,
+                         timeout=560)
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["metric"].startswith("input_pipeline_mds_img_per_sec")
+    for key in ("value", "wds_img_per_sec", "latent_loader_img_per_sec",
+                "mds_process_workers_img_per_sec", "chips_one_host_can_feed",
+                "chips_fed_precomputed_latents", "demand_img_per_sec_per_chip"):
+        assert key in result, (key, result)
+    assert result["value"] > 0
+    assert result["latent_loader_img_per_sec"] > 0
+    # the latent (no-decode) path must beat raw JPEG decode
+    assert result["latent_loader_img_per_sec"] > result["value"]
+    assert result["demand_img_per_sec_per_chip"] == 100.0
