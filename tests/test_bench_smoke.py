@@ -35,6 +35,9 @@ def test_bench_emits_driver_contract(tmp_path):
         # the sampling subprocesses have their own scripts/ test surface;
         # skipping them keeps this smoke within the CI budget
         "BENCH_SAMPLING": "0",
+        # the slow-relay e2e retry is a real-chip concern; on the CPU mesh
+        # e2e < step is normal and the retry would double this smoke
+        "BENCH_E2E_RETRY": "0",
         "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
         # keep the synthetic dataset inside the test sandbox
         "TMPDIR": str(tmp_path),
