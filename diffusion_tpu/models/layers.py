@@ -204,11 +204,18 @@ class Attention(nn.Module):
             v = v + self._lora("to_v", ctx, inner)
         b, sq = q.shape[:2]
         sk = k.shape[1]
-        q = constrain_batch(q.reshape(b, sq, self.num_heads, self.head_dim))
-        k = constrain_batch(k.reshape(b, sk, self.num_heads, self.head_dim))
-        v = constrain_batch(v.reshape(b, sk, self.num_heads, self.head_dim))
+        # tp_dim: with an active tensor-parallel axis the head dim (and the
+        # head-major flattened inner dim) stay tp-sharded from the
+        # column-parallel q/k/v kernels through attention into the
+        # row-parallel to_out (parallel/sharding.py Megatron table)
+        q = constrain_batch(q.reshape(b, sq, self.num_heads, self.head_dim),
+                            tp_dim=2)
+        k = constrain_batch(k.reshape(b, sk, self.num_heads, self.head_dim),
+                            tp_dim=2)
+        v = constrain_batch(v.reshape(b, sk, self.num_heads, self.head_dim),
+                            tp_dim=2)
         o = multi_head_attention(q, k, v, mask=mask)
-        o = constrain_batch(o.reshape(b, sq, inner))
+        o = constrain_batch(o.reshape(b, sq, inner), tp_dim=-1)
         out = nn.Dense(out_dim, use_bias=True, dtype=self.dtype,
                        name="to_out")(o)
         if self.lora_rank > 0:
@@ -226,13 +233,17 @@ class FeedForwardGEGLU(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = self.dim * self.mult
+        # tp_dim: the GEGLU hidden is the column-parallel half of the
+        # Megatron FF pair — with an active tp axis it stays feature-sharded
+        # through the split + GELU into the row-parallel proj_out (the split
+        # at `inner` lands on a shard boundary for any even tp size)
         h = constrain_batch(nn.Dense(inner * 2, dtype=self.dtype,
-                                     name="proj_in")(x))
+                                     name="proj_in")(x), tp_dim=-1)
         a, b = jnp.split(h, 2, axis=-1)
         h = a * nn.gelu(b, approximate=False)  # diffusers GEGLU uses erf GELU
         # anchor h too: its cotangent (dout @ W^T with W fsdp-sharded) is
         # the last place SPMD otherwise resorts to full rematerialization
-        h = constrain_batch(h)
+        h = constrain_batch(h, tp_dim=-1)
         return constrain_batch(
             nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h))
 

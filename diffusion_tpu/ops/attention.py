@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["multi_head_attention", "set_default_backend",
-           "sequence_parallel"]
+           "sequence_parallel", "tensor_parallel"]
 
 _DEFAULT_BACKEND = os.environ.get("DIFFUSION_TPU_ATTN_BACKEND", "auto")
 
@@ -51,11 +51,57 @@ def _ring_dispatch(q, k, v, mesh, axis_name: str):
 
     from diffusion_tpu.ops.ring_attention import ring_attention
 
-    batch_axes = tuple(a for a in mesh.axis_names if a != axis_name)
-    spec = P(batch_axes, axis_name)
+    # heads additionally shard over an active tp axis (each ring hop then
+    # moves 1/tp of the KV bytes per device); tp never carries batch rows
+    tp = mesh.shape.get("tp", 1)
+    batch_axes = tuple(a for a in mesh.axis_names
+                       if a not in (axis_name, "tp"))
+    head_ax = "tp" if (tp > 1 and q.shape[2] % tp == 0) else None
+    spec = P(batch_axes, axis_name, head_ax, None)
     fn = jax.shard_map(
         functools.partial(ring_attention, axis_name=axis_name),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+    return fn(q, k, v)
+
+
+# Trace-time tensor-parallel context: (mesh, axis_name). Entered by the
+# Trainer when the mesh has a tp axis > 1. Attention then runs head-sharded
+# under shard_map — heads are embarrassingly parallel, so the body needs NO
+# collective; shard_map (rather than relying on SPMD propagation) keeps the
+# Pallas flash kernel usable per-shard, since GSPMD cannot partition a
+# pallas_call and would otherwise gather the heads back.
+_TENSOR_PARALLEL: list = [None]
+
+
+@contextlib.contextmanager
+def tensor_parallel(mesh, axis_name: str = "tp"):
+    """Enable head-sharded attention dispatch during tracing. No-op when the
+    mesh is None or its tp axis is 1."""
+    prev = _TENSOR_PARALLEL[0]
+    active = mesh is not None and mesh.shape.get(axis_name, 1) > 1
+    _TENSOR_PARALLEL[0] = (mesh, axis_name) if active else None
+    try:
+        yield
+    finally:
+        _TENSOR_PARALLEL[0] = prev
+
+
+def _tp_dispatch(q, k, v, mesh, axis_name: str, backend):
+    """Head-sharded attention: shard_map over the tp axis, plain kernel
+    dispatch per shard. Tokens are gathered (spec None on dim 1) — attention
+    mixes all tokens; the sp-sharded long-sequence case takes the ring path
+    before reaching here."""
+    from jax.sharding import PartitionSpec as P
+
+    batch_axes = tuple(a for a in mesh.axis_names
+                       if a not in (axis_name, "sp"))
+    spec = P(batch_axes, None, axis_name, None)
+
+    def body(q_, k_, v_):
+        return _dispatch_kernel(q_, k_, v_, None, backend)
+
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=(spec, spec, spec), out_specs=spec)
     return fn(q, k, v)
 
 
@@ -135,6 +181,24 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                 and q.shape[1] % n == 0):
             return _ring_dispatch(q, k, v, mesh, axis_name)
     backend = backend or _DEFAULT_BACKEND
+    tpctx = _TENSOR_PARALLEL[0]
+    if tpctx is not None and mask is None:
+        mesh, axis_name = tpctx
+        n = mesh.shape[axis_name]
+        rows = 1
+        for a in mesh.axis_names:
+            if a not in (axis_name, "sp"):
+                rows *= mesh.shape[a]
+        # head-sharded only when heads split evenly and the batch splits
+        # over the data axes; masked attention (the frozen CLIP text tower,
+        # replicated params) and ragged shapes stay on the plain path —
+        # GSPMD still compiles those correctly, just without head sharding
+        if q.shape[2] % n == 0 and q.shape[0] % rows == 0:
+            return _tp_dispatch(q, k, v, mesh, axis_name, backend)
+    return _dispatch_kernel(q, k, v, mask, backend)
+
+
+def _dispatch_kernel(q, k, v, mask, backend):
     if backend == "flash" or (backend == "auto" and _flash_eligible(q, k, mask)):
         from diffusion_tpu.ops.flash_attention import flash_attention
         return flash_attention(q, k, v)

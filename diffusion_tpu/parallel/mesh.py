@@ -12,11 +12,18 @@ Axis roles:
   fsdp — intra-slice axis that shards params/optimizer state (ZeRO-ish)
   data — intra-slice pure data parallelism
   sp   — sequence parallelism: shards the spatial-token axis; attention
-         runs as a ring over this axis (ops/ring_attention.py). Innermost
-         so ring ppermute hops ride nearest-neighbor ICI links. Size 1
+         runs as a ring over this axis (ops/ring_attention.py). Size 1
          (off) unless configured.
-The global batch is sharded over dcn x fsdp x data; parameters over `fsdp`
-only; activations' token axis over `sp` when enabled.
+  tp   — tensor (Megatron-style) parallelism: shards attention heads and
+         the GEGLU hidden dim (parallel/sharding.py tp rules); the only
+         per-layer collective is the allreduce after to_out / proj_out,
+         which XLA inserts from the sharding constraints. Innermost so
+         those allreduces ride nearest-neighbor ICI links. Size 1 (off)
+         unless configured.
+The global batch is sharded over dcn x fsdp x data (sp shards tokens and tp
+shards features, not examples); parameters over `fsdp` plus — for the
+attention/FF Megatron pairs — `tp`; activations' token axis over `sp` and
+head/hidden axis over `tp` when enabled.
 """
 
 from __future__ import annotations
@@ -30,19 +37,21 @@ from jax.sharding import Mesh
 
 __all__ = ["create_mesh", "MESH_AXES"]
 
-MESH_AXES = ("dcn", "fsdp", "data", "sp")
+MESH_AXES = ("dcn", "fsdp", "data", "sp", "tp")
 
 
 def create_mesh(fsdp: int = -1, data: int = 1, dcn: int = 1, sp: int = 1,
+                tp: int = 1,
                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a (dcn, fsdp, data, sp) mesh. One dimension may be -1 (inferred).
+    """Build a (dcn, fsdp, data, sp, tp) mesh. One dimension may be -1
+    (inferred).
 
     Uses `mesh_utils.create_device_mesh` for ICI-aware ordering when the
     whole mesh is one slice, and `create_hybrid_device_mesh` when dcn > 1.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    sizes = {"dcn": dcn, "fsdp": fsdp, "data": data, "sp": sp}
+    sizes = {"dcn": dcn, "fsdp": fsdp, "data": data, "sp": sp, "tp": tp}
     unknown = [k for k, v in sizes.items() if v == -1]
     if len(unknown) > 1:
         raise ValueError("at most one mesh axis may be -1")
@@ -58,9 +67,10 @@ def create_mesh(fsdp: int = -1, data: int = 1, dcn: int = 1, sp: int = 1,
     try:
         from jax.experimental import mesh_utils
         if sizes["dcn"] > 1:
-            per_slice = (1, sizes["fsdp"], sizes["data"], sizes["sp"])
+            per_slice = (1, sizes["fsdp"], sizes["data"], sizes["sp"],
+                         sizes["tp"])
             dev_array = mesh_utils.create_hybrid_device_mesh(
-                per_slice, (sizes["dcn"], 1, 1, 1), devices=devices)
+                per_slice, (sizes["dcn"], 1, 1, 1, 1), devices=devices)
         else:
             dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
     except Exception as e:

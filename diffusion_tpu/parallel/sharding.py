@@ -50,7 +50,7 @@ def activation_mesh(mesh: Optional[Mesh]):
         _ACTIVATION_MESH[0] = prev
 
 
-def constrain_batch(x: Any) -> Any:
+def constrain_batch(x: Any, tp_dim: Optional[int] = None) -> Any:
     """Constrain an activation's leading (batch) dim to the ambient mesh's
     batch sharding; identity outside an `activation_mesh` context.
 
@@ -59,7 +59,17 @@ def constrain_batch(x: Any) -> Any:
     additionally sharded over `sp` whenever divisible, so the whole UNet
     body (convs with XLA-inserted halo exchange, norms with allreduced
     stats, per-token matmuls) runs token-sharded and ring attention
-    consumes its q/k/v shards in place."""
+    consumes its q/k/v shards in place.
+
+    `tp_dim` marks the Megatron-partitioned feature dim of an activation
+    (the head axis of (B,S,H,D) q/k/v, the hidden axis of the GEGLU
+    intermediate): with an active `tp` axis it is sharded over `tp`
+    whenever divisible, so the column-parallel projection output stays
+    sharded through attention / the GELU and the ONLY tp collective per
+    layer is the allreduce XLA inserts after the row-parallel
+    to_out / proj_out matmul (whose output the next plain constrain_batch
+    pins feature-replicated). Activations without a tp_dim keep features
+    replicated."""
     mesh = _ACTIVATION_MESH[0]
     if mesh is None:
         return x
@@ -74,38 +84,102 @@ def constrain_batch(x: Any) -> Any:
         # rematerialization") on the deepest UNet stages; those tiny stages
         # stay batch-sharded instead
         rest[0] = "sp"
+    tp = mesh.shape.get("tp", 1)
+    if tp_dim is not None and tp > 1:
+        d = tp_dim % x.ndim
+        if d >= 1 and x.shape[d] % tp == 0:
+            rest[d - 1] = "tp"
     spec = P(batch_axes, *rest)
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
-def param_spec(leaf: Any, mesh: Mesh, min_size: int = 2 ** 16) -> P:
-    """Partition spec for one parameter: shard the largest axis divisible by
-    the fsdp axis size; replicate small or indivisible leaves."""
+# Megatron partition table (tensor parallelism over the `tp` mesh axis).
+# Column-parallel projections (output features sharded): the q/k/v heads
+# and the GEGLU hidden — their outputs stay tp-sharded through attention /
+# the GELU (constrain_batch tp_dim anchors). Row-parallel projections
+# (input features sharded): to_out and the GEGLU proj_out — their matmul
+# produces a partial sum and the allreduce XLA inserts there is the only
+# tp collective of the layer. Biases follow the output: sharded for
+# column-parallel, replicated (added once, after the allreduce) for
+# row-parallel. LoRA branches mirror their base projection's sharded side.
+_TP_COLUMN = ("to_q", "to_k", "to_v",
+              "to_q_lora_b", "to_k_lora_b", "to_v_lora_b")
+_TP_ROW = ("to_out", "to_out_lora_a")
+
+
+def _tp_dim(path: tuple) -> Optional[int]:
+    """Megatron partition dim for a parameter path (tuple of str scope
+    names + leaf name), or None when the parameter is not part of an
+    attention/GEGLU Megatron pair. `proj_in`/`proj_out` are paired only
+    under an `ff` scope (FeedForwardGEGLU) — the Transformer2D spatial
+    projections of the same names are plain layers."""
+    if len(path) < 2:
+        return None
+    leaf, mod = path[-1], path[-2]
+    parent = path[-3] if len(path) >= 3 else ""
+    if mod in _TP_COLUMN or (mod == "proj_in" and parent == "ff"):
+        return {"kernel": 1, "bias": 0}.get(leaf)
+    if mod in _TP_ROW or (mod == "proj_out" and parent == "ff"):
+        return 0 if leaf == "kernel" else None
+    return None
+
+
+def param_spec(leaf: Any, mesh: Mesh, min_size: int = 2 ** 16,
+               path: tuple = ()) -> P:
+    """Partition spec for one parameter: the Megatron `tp` dim when the
+    path names an attention/GEGLU projection (and the mesh has a tp axis),
+    then the largest remaining axis divisible by the fsdp axis size;
+    replicate small or indivisible leaves."""
     fsdp = mesh.shape.get("fsdp", 1)
-    if fsdp <= 1:
+    tp = mesh.shape.get("tp", 1)
+    if fsdp <= 1 and tp <= 1:
         return P()
     shape = getattr(leaf, "shape", ())
     if not shape or int(np.prod(shape)) < min_size:
         return P()
-    # prefer the largest dim; ties broken toward the last (lane) dim, which
-    # keeps the replicated dims contiguous for the MXU
-    order = sorted(range(len(shape)), key=lambda i: (shape[i], i), reverse=True)
-    for i in order:
-        if shape[i] % fsdp == 0:
-            spec = [None] * len(shape)
-            spec[i] = "fsdp"
-            return P(*spec)
-    return P()
+    spec: list = [None] * len(shape)
+    if tp > 1 and path:
+        d = _tp_dim(path)
+        if d is not None and d < len(shape) and shape[d] % tp == 0:
+            spec[d] = "tp"
+    if fsdp > 1:
+        # prefer the largest dim; ties broken toward the last (lane) dim,
+        # which keeps the replicated dims contiguous for the MXU
+        order = sorted(range(len(shape)),
+                       key=lambda i: (shape[i], i), reverse=True)
+        for i in order:
+            if spec[i] is None and shape[i] % fsdp == 0:
+                spec[i] = "fsdp"
+                break
+    if all(s is None for s in spec):
+        return P()  # fully replicated leaves compare equal to P()
+    return P(*spec)
+
+
+def _path_names(path) -> tuple:
+    """jax key-path entries -> plain str names (dict keys / attrs / idx)."""
+    out = []
+    for k in path:
+        name = getattr(k, "key", None)
+        if name is None:
+            name = getattr(k, "name", None)
+        if name is None:
+            name = getattr(k, "idx", None)
+        out.append(str(name))
+    return tuple(out)
 
 
 def param_shardings(params: Any, mesh: Mesh, shard: bool = True,
                     min_size: int = 2 ** 16) -> Any:
     """NamedSharding pytree matching `params`. shard=False replicates all
     (the frozen VAE/CLIP towers)."""
-    def one(leaf):
-        spec = param_spec(leaf, mesh, min_size) if shard else P()
+    if not shard:
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+
+    def one(path, leaf):
+        spec = param_spec(leaf, mesh, min_size, path=_path_names(path))
         return NamedSharding(mesh, spec)
-    return jax.tree.map(one, params)
+    return jax.tree_util.tree_map_with_path(one, params)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -115,9 +189,9 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def batch_spec(mesh: Mesh) -> P:
     """Batch axis sharded over every data-carrying mesh axis (pure data
     parallelism, reference train.py:40 global//world semantics). The `sp`
-    axis shards tokens, not examples, so it is excluded — batches are
-    replicated across an sp group."""
-    return P(tuple(a for a in mesh.axis_names if a != "sp"))
+    axis shards tokens and the `tp` axis shards features, not examples,
+    so both are excluded — batches are replicated across an sp/tp group."""
+    return P(tuple(a for a in mesh.axis_names if a not in ("sp", "tp")))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -204,8 +204,9 @@ class Trainer:
         self.fsdp_min_size = int((fsdp_config or {}).get("min_params", 2 ** 16))
         if mesh is None:
             if mesh_config:
-                # yaml surface: trainer.mesh_config {dcn, fsdp, data, sp}
-                # (sp > 1 turns on sequence-parallel ring attention)
+                # yaml surface: trainer.mesh_config {dcn, fsdp, data, sp, tp}
+                # (sp > 1 turns on sequence-parallel ring attention;
+                #  tp > 1 turns on Megatron tensor parallelism)
                 mesh = create_mesh(**mesh_config)
             else:
                 n = jax.device_count()
@@ -328,7 +329,13 @@ class Trainer:
         """Build the fused train step for a given global batch size."""
         model, mesh = self.model, self.mesh
         frozen = self.frozen
-        n_dev = mesh.size
+        # microbatch cap semantics (rows per device): sp devices hold 1/sp
+        # of each row's tokens, so a cap of C rows per device is C*sp rows
+        # per sp group — mesh.size counts that correctly. tp devices hold
+        # FULL rows (only attention/FF features are 1/tp; convs/resnets are
+        # full-width), so tp multiplies devices without multiplying row
+        # capacity — divide it out.
+        n_dev = mesh.size // mesh.shape.get("tp", 1)
         if self.micro_size:
             # ceil like Composer — a microbatch must never EXCEED the
             # configured cap (it exists to bound HBM; floor division would
@@ -372,14 +379,18 @@ class Trainer:
 
         def step_fn(ts: TrainState, batch):
             # trace-time contexts: the UNet pins activations to the batch
-            # (+ sp token) sharding (parallel/sharding.py constrain_batch)
-            # so SPMD never falls back to full-rematerialization resharding,
-            # and long self-attention dispatches to ring attention when the
-            # mesh has an sp axis. Identity when mesh.size == 1.
-            from diffusion_tpu.ops.attention import sequence_parallel
+            # (+ sp token, + tp head/hidden) sharding (parallel/sharding.py
+            # constrain_batch) so SPMD never falls back to
+            # full-rematerialization resharding; long self-attention
+            # dispatches to ring attention when the mesh has an sp axis and
+            # attention runs head-sharded when it has a tp axis. Identity
+            # when mesh.size == 1.
+            from diffusion_tpu.ops.attention import (sequence_parallel,
+                                                     tensor_parallel)
             with activation_mesh(None if self._plain else mesh), \
                     sequence_parallel(None if self._plain else mesh,
-                                      min_seq=self.sequence_parallel_min_seq):
+                                      min_seq=self.sequence_parallel_min_seq), \
+                    tensor_parallel(None if self._plain else mesh):
                 return _step_body(ts, batch)
 
         def _step_body(ts: TrainState, batch):
@@ -607,13 +618,15 @@ class Trainer:
         num_t = getattr(model.noise_scheduler, "num_train_timesteps", 1000)
 
         def eval_fn(params, batch, rng):
-            from diffusion_tpu.ops.attention import sequence_parallel
+            from diffusion_tpu.ops.attention import (sequence_parallel,
+                                                     tensor_parallel)
             batch = dict(batch)
             valid = batch.pop("_valid", None)
             with activation_mesh(None if self._plain else self.mesh), \
                     sequence_parallel(
                         None if self._plain else self.mesh,
-                        min_seq=self.sequence_parallel_min_seq):
+                        min_seq=self.sequence_parallel_min_seq), \
+                    tensor_parallel(None if self._plain else self.mesh):
                 pred, target, t = model.forward(params, frozen, batch, rng,
                                                 train=False)
             err = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))

@@ -84,7 +84,8 @@ def test_mesh_config_reaches_sp(tmp_path):
                  optimizers=adamw(lr=1e-3), max_duration="1ba",
                  image_size=SIZE,
                  mesh_config={"dcn": 1, "fsdp": 2, "data": 2, "sp": 2})
-    assert tr.mesh.shape == {"dcn": 1, "fsdp": 2, "data": 2, "sp": 2}
+    assert tr.mesh.shape == {"dcn": 1, "fsdp": 2, "data": 2, "sp": 2,
+                             "tp": 1}
 
 
 def test_cross_attention_stays_off_ring(monkeypatch):

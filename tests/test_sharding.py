@@ -13,11 +13,11 @@ from diffusion_tpu.parallel.sharding import (batch_spec, make_global_batch,
 
 def test_create_mesh_inference():
     mesh = create_mesh(fsdp=-1)
-    assert mesh.shape == {"dcn": 1, "fsdp": 8, "data": 1, "sp": 1}
+    assert mesh.shape == {"dcn": 1, "fsdp": 8, "data": 1, "sp": 1, "tp": 1}
     mesh = create_mesh(dcn=2, fsdp=2, data=2)
-    assert mesh.shape == {"dcn": 2, "fsdp": 2, "data": 2, "sp": 1}
+    assert mesh.shape == {"dcn": 2, "fsdp": 2, "data": 2, "sp": 1, "tp": 1}
     mesh = create_mesh(dcn=1, fsdp=2, data=2, sp=2)
-    assert mesh.shape == {"dcn": 1, "fsdp": 2, "data": 2, "sp": 2}
+    assert mesh.shape == {"dcn": 1, "fsdp": 2, "data": 2, "sp": 2, "tp": 1}
     with pytest.raises(ValueError):
         create_mesh(fsdp=3)  # 8 % 3 != 0
     with pytest.raises(ValueError):

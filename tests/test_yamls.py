@@ -157,6 +157,33 @@ def test_sd2_base_1024_sp_yaml(fixtures):
 
 
 @pytest.mark.slow
+def test_sd2_base_512_tp_yaml(fixtures):
+    """The tensor-parallel 512px config composes; the tp mesh reaches the
+    Trainer (mesh_config is the yaml surface for Megatron sharding)."""
+    cfg = load_config(os.path.join(YAML_DIR, "SD-2-base-512-tp.yaml"),
+                      BASE_OVERRIDES + [
+        "model.precomputed_latents=false",
+        "dataset.train_dataset.precomputed_latents=false",
+        f"dataset.train_dataset.remote={fixtures['laion']}",
+        "dataset.train_dataset.num_workers=1",
+        "dataset.train_dataset.resize_size=32",
+        f"dataset.eval_dataset.remote={fixtures['coco']}",
+        "dataset.eval_dataset.num_workers=1",
+        "dataset.eval_dataset.resize_size=32",
+        "trainer.image_size=32",
+        "trainer.mesh_config.fsdp=2",
+        "trainer.mesh_config.data=2",
+        "trainer.mesh_config.tp=2",
+    ])
+    cfg.pop("logger", None)
+    trainer = build_trainer(cfg)
+    assert trainer.mesh.shape["tp"] == 2
+    batch = next(iter(trainer.train_dataloader))
+    assert "captions" in batch
+    trainer.close()
+
+
+@pytest.mark.slow
 def test_sd2_base_256_wds_yaml(fixtures):
     _build(os.path.join(YAML_DIR, "SD-2-base-256-wds.yaml"), BASE_OVERRIDES + [
         f"dataset.train_dataset.meta_json={fixtures['wds_manifest']}",
