@@ -207,15 +207,20 @@ class Attention(nn.Module):
         # tp_dim: with an active tensor-parallel axis the head dim (and the
         # head-major flattened inner dim) stay tp-sharded from the
         # column-parallel q/k/v kernels through attention into the
-        # row-parallel to_out (parallel/sharding.py Megatron table)
+        # row-parallel to_out (parallel/sharding.py Megatron table).
+        # tp_groups=num_heads: head shards must not split a head, so stages
+        # whose head count doesn't divide by tp (SD2's 5-head top stage at
+        # tp=2) stay feature-replicated — matching param_spec's head gate
+        # and the q.shape[2] % tp dispatch check in ops/attention.py.
         q = constrain_batch(q.reshape(b, sq, self.num_heads, self.head_dim),
-                            tp_dim=2)
+                            tp_dim=2, tp_groups=self.num_heads)
         k = constrain_batch(k.reshape(b, sk, self.num_heads, self.head_dim),
-                            tp_dim=2)
+                            tp_dim=2, tp_groups=self.num_heads)
         v = constrain_batch(v.reshape(b, sk, self.num_heads, self.head_dim),
-                            tp_dim=2)
+                            tp_dim=2, tp_groups=self.num_heads)
         o = multi_head_attention(q, k, v, mask=mask)
-        o = constrain_batch(o.reshape(b, sq, inner), tp_dim=-1)
+        o = constrain_batch(o.reshape(b, sq, inner), tp_dim=-1,
+                            tp_groups=self.num_heads)
         out = nn.Dense(out_dim, use_bias=True, dtype=self.dtype,
                        name="to_out")(o)
         if self.lora_rank > 0:
@@ -224,7 +229,17 @@ class Attention(nn.Module):
 
 
 class FeedForwardGEGLU(nn.Module):
-    """GEGLU feed-forward: Dense->(a, b)->a*gelu(b)->Dense (diffusers FF parity)."""
+    """GEGLU feed-forward: a*gelu(b) -> Dense (diffusers FF parity).
+
+    The value (`proj_in`) and gate (`proj_gate`) projections are SEPARATE
+    Dense modules rather than diffusers' fused 2*inner Linear: under tensor
+    parallelism both kernels are column-parallel, so every tp shard holds
+    ALIGNED slices of a and b and the product is local. (A fused kernel
+    sharded contiguously over tp=2 puts all of `a` on rank 0 and all of `b`
+    on rank 1, forcing a reshard of both halves every block, fwd+bwd.)
+    port_hf.py splits diffusers' fused `ff.net.0.proj` weight into the two
+    halves: value = columns [:inner], gate = columns [inner:] (diffusers
+    GEGLU chunks (hidden, gate) in that order)."""
 
     dim: int
     mult: int = 4
@@ -235,11 +250,11 @@ class FeedForwardGEGLU(nn.Module):
         inner = self.dim * self.mult
         # tp_dim: the GEGLU hidden is the column-parallel half of the
         # Megatron FF pair — with an active tp axis it stays feature-sharded
-        # through the split + GELU into the row-parallel proj_out (the split
-        # at `inner` lands on a shard boundary for any even tp size)
-        h = constrain_batch(nn.Dense(inner * 2, dtype=self.dtype,
+        # through the GELU into the row-parallel proj_out
+        a = constrain_batch(nn.Dense(inner, dtype=self.dtype,
                                      name="proj_in")(x), tp_dim=-1)
-        a, b = jnp.split(h, 2, axis=-1)
+        b = constrain_batch(nn.Dense(inner, dtype=self.dtype,
+                                     name="proj_gate")(x), tp_dim=-1)
         h = a * nn.gelu(b, approximate=False)  # diffusers GEGLU uses erf GELU
         # anchor h too: its cotangent (dout @ W^T with W fsdp-sharded) is
         # the last place SPMD otherwise resorts to full rematerialization

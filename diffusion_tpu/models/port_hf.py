@@ -86,8 +86,16 @@ def port_unet(t: Dict[str, np.ndarray]) -> Dict:
                      _lin(t[f"{sp}.{attn}.to_out.0.weight"]))
                 _set(out, f"{dp}/{attn}/to_out/bias",
                      t[f"{sp}.{attn}.to_out.0.bias"])
-            _set(out, f"{dp}/ff/proj_in/kernel", _lin(t[f"{sp}.ff.net.0.proj.weight"]))
-            _set(out, f"{dp}/ff/proj_in/bias", t[f"{sp}.ff.net.0.proj.bias"])
+            # diffusers GEGLU fuses value+gate in one 2*inner Linear and
+            # chunks (hidden, gate); our FeedForwardGEGLU keeps them as two
+            # column-parallel Denses (models/layers.py) — split here
+            w = _lin(t[f"{sp}.ff.net.0.proj.weight"])
+            bias = t[f"{sp}.ff.net.0.proj.bias"]
+            inner = w.shape[1] // 2
+            _set(out, f"{dp}/ff/proj_in/kernel", w[:, :inner])
+            _set(out, f"{dp}/ff/proj_in/bias", bias[:inner])
+            _set(out, f"{dp}/ff/proj_gate/kernel", w[:, inner:])
+            _set(out, f"{dp}/ff/proj_gate/bias", bias[inner:])
             _set(out, f"{dp}/ff/proj_out/kernel", _lin(t[f"{sp}.ff.net.2.weight"]))
             _set(out, f"{dp}/ff/proj_out/bias", t[f"{sp}.ff.net.2.bias"])
             depth += 1

@@ -50,7 +50,8 @@ def activation_mesh(mesh: Optional[Mesh]):
         _ACTIVATION_MESH[0] = prev
 
 
-def constrain_batch(x: Any, tp_dim: Optional[int] = None) -> Any:
+def constrain_batch(x: Any, tp_dim: Optional[int] = None,
+                    tp_groups: Optional[int] = None) -> Any:
     """Constrain an activation's leading (batch) dim to the ambient mesh's
     batch sharding; identity outside an `activation_mesh` context.
 
@@ -69,7 +70,13 @@ def constrain_batch(x: Any, tp_dim: Optional[int] = None) -> Any:
     layer is the allreduce XLA inserts after the row-parallel
     to_out / proj_out matmul (whose output the next plain constrain_batch
     pins feature-replicated). Activations without a tp_dim keep features
-    replicated."""
+    replicated.
+
+    `tp_groups` gives the number of indivisible groups along tp_dim (the
+    head count of a flattened heads*head_dim axis): the dim is tp-sharded
+    only when the GROUPS divide by tp, so a shard never splits a head —
+    e.g. SD2's 5-head stage stays replicated at tp=2 even though its
+    320-wide inner dim is divisible."""
     mesh = _ACTIVATION_MESH[0]
     if mesh is None:
         return x
@@ -87,7 +94,8 @@ def constrain_batch(x: Any, tp_dim: Optional[int] = None) -> Any:
     tp = mesh.shape.get("tp", 1)
     if tp_dim is not None and tp > 1:
         d = tp_dim % x.ndim
-        if d >= 1 and x.shape[d] % tp == 0:
+        if d >= 1 and x.shape[d] % tp == 0 \
+                and (tp_groups is None or tp_groups % tp == 0):
             rest[d - 1] = "tp"
     spec = P(batch_axes, *rest)
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
@@ -95,54 +103,88 @@ def constrain_batch(x: Any, tp_dim: Optional[int] = None) -> Any:
 
 # Megatron partition table (tensor parallelism over the `tp` mesh axis).
 # Column-parallel projections (output features sharded): the q/k/v heads
-# and the GEGLU hidden — their outputs stay tp-sharded through attention /
-# the GELU (constrain_batch tp_dim anchors). Row-parallel projections
-# (input features sharded): to_out and the GEGLU proj_out — their matmul
-# produces a partial sum and the allreduce XLA inserts there is the only
-# tp collective of the layer. Biases follow the output: sharded for
-# column-parallel, replicated (added once, after the allreduce) for
-# row-parallel. LoRA branches mirror their base projection's sharded side.
+# and the GEGLU value/gate halves — their outputs stay tp-sharded through
+# attention / the GELU (constrain_batch tp_dim anchors). Row-parallel
+# projections (input features sharded): to_out and the GEGLU proj_out —
+# their matmul produces a partial sum and the allreduce XLA inserts there
+# is the only tp collective of the layer. Biases follow the output:
+# sharded for column-parallel, replicated (added once, after the
+# allreduce) for row-parallel. LoRA branches mirror their base
+# projection's sharded side. Attention rows are HEAD-GATED: with
+# `tp_head_dim` known, a kernel whose head count (inner // head_dim)
+# doesn't divide by tp stays replicated — SD2's 5-head top stage at tp=2
+# would otherwise shard its 320-wide q/k/v mid-head while the dispatch in
+# ops/attention.py (q.shape[2] % tp) correctly refuses to head-shard the
+# activations, forcing gathers around every (b,s,inner)->(b,s,h,d)
+# reshape. GEGLU entries have no head structure and are never gated.
 _TP_COLUMN = ("to_q", "to_k", "to_v",
               "to_q_lora_b", "to_k_lora_b", "to_v_lora_b")
 _TP_ROW = ("to_out", "to_out_lora_a")
 
 
-def _tp_dim(path: tuple) -> Optional[int]:
-    """Megatron partition dim for a parameter path (tuple of str scope
-    names + leaf name), or None when the parameter is not part of an
-    attention/GEGLU Megatron pair. `proj_in`/`proj_out` are paired only
-    under an `ff` scope (FeedForwardGEGLU) — the Transformer2D spatial
-    projections of the same names are plain layers."""
+def _tp_dim(path: tuple) -> Optional[tuple]:
+    """(Megatron partition dim, needs_head_gate) for a parameter path
+    (tuple of str scope names + leaf name), or None when the parameter is
+    not part of an attention/GEGLU Megatron pair. `proj_in`/`proj_gate`/
+    `proj_out` are paired only under an `ff` scope (FeedForwardGEGLU) —
+    the Transformer2D spatial projections of the same names are plain
+    layers."""
     if len(path) < 2:
         return None
     leaf, mod = path[-1], path[-2]
     parent = path[-3] if len(path) >= 3 else ""
-    if mod in _TP_COLUMN or (mod == "proj_in" and parent == "ff"):
-        return {"kernel": 1, "bias": 0}.get(leaf)
-    if mod in _TP_ROW or (mod == "proj_out" and parent == "ff"):
-        return 0 if leaf == "kernel" else None
+    if mod in _TP_COLUMN:
+        d = {"kernel": 1, "bias": 0}.get(leaf)
+        return None if d is None else (d, True)
+    if mod in ("proj_in", "proj_gate") and parent == "ff":
+        d = {"kernel": 1, "bias": 0}.get(leaf)
+        return None if d is None else (d, False)
+    if mod in _TP_ROW:
+        return (0, True) if leaf == "kernel" else None
+    if mod == "proj_out" and parent == "ff":
+        return (0, False) if leaf == "kernel" else None
     return None
 
 
 def param_spec(leaf: Any, mesh: Mesh, min_size: int = 2 ** 16,
-               path: tuple = ()) -> P:
+               path: tuple = (), tp_head_dim: Optional[int] = None) -> P:
     """Partition spec for one parameter: the Megatron `tp` dim when the
     path names an attention/GEGLU projection (and the mesh has a tp axis),
     then the largest remaining axis divisible by the fsdp axis size;
-    replicate small or indivisible leaves."""
+    replicate small or indivisible leaves.
+
+    `tp_head_dim` is the model's uniform attention head width: attention
+    kernels are tp-sharded only when their head count divides by tp (see
+    the table comment). None skips the gate (divisibility-only — fine for
+    models whose head counts all divide tp); pass the model's value in
+    production (the Trainer reads it off `model.unet.config`).
+
+    The `min_size` gate applies to the fsdp axis only: a tp match is kept
+    even on small leaves (column-parallel biases, LoRA kernels), because a
+    bias that pairs with a sharded kernel is free to shard and replicating
+    it would add a gather against its tp-sharded output."""
     fsdp = mesh.shape.get("fsdp", 1)
     tp = mesh.shape.get("tp", 1)
     if fsdp <= 1 and tp <= 1:
         return P()
     shape = getattr(leaf, "shape", ())
-    if not shape or int(np.prod(shape)) < min_size:
+    if not shape:
         return P()
     spec: list = [None] * len(shape)
     if tp > 1 and path:
-        d = _tp_dim(path)
-        if d is not None and d < len(shape) and shape[d] % tp == 0:
-            spec[d] = "tp"
-    if fsdp > 1:
+        got = _tp_dim(path)
+        if got is not None:
+            d, head_gated = got
+            if d < len(shape) and shape[d] % tp == 0:
+                heads_ok = True
+                if head_gated and tp_head_dim is not None:
+                    inner = shape[d]
+                    heads = inner // tp_head_dim
+                    heads_ok = (inner % tp_head_dim == 0 and heads > 0
+                                and heads % tp == 0)
+                if heads_ok:
+                    spec[d] = "tp"
+    if fsdp > 1 and int(np.prod(shape)) >= min_size:
         # prefer the largest dim; ties broken toward the last (lane) dim,
         # which keeps the replicated dims contiguous for the MXU
         order = sorted(range(len(shape)),
@@ -170,16 +212,37 @@ def _path_names(path) -> tuple:
 
 
 def param_shardings(params: Any, mesh: Mesh, shard: bool = True,
-                    min_size: int = 2 ** 16) -> Any:
+                    min_size: int = 2 ** 16,
+                    tp_head_dim: Optional[int] = None) -> Any:
     """NamedSharding pytree matching `params`. shard=False replicates all
-    (the frozen VAE/CLIP towers)."""
+    (the frozen VAE/CLIP towers). `tp_head_dim`: see param_spec."""
     if not shard:
         return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
 
     def one(path, leaf):
-        spec = param_spec(leaf, mesh, min_size, path=_path_names(path))
+        spec = param_spec(leaf, mesh, min_size, path=_path_names(path),
+                          tp_head_dim=tp_head_dim)
         return NamedSharding(mesh, spec)
     return jax.tree_util.tree_map_with_path(one, params)
+
+
+def model_tp_head_dim(model: Any) -> Optional[int]:
+    """The uniform attention head width of a model's UNet, for param_spec's
+    head gate. Returns None when the model has no UNet config or the head
+    width varies per stage (no gate — matches legacy behavior); -1 would
+    never be a real width, so a non-uniform model conservatively disables
+    attention tp sharding instead via the sentinel."""
+    cfg = getattr(getattr(model, "unet", None), "config", None)
+    hd = getattr(cfg, "head_dim", None)
+    if hd is None:
+        return None
+    try:
+        vals = set(hd)
+    except TypeError:
+        return int(hd)
+    if len(vals) == 1:
+        return int(vals.pop())
+    return -1  # non-uniform: heads can't be derived from shape — gate off
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

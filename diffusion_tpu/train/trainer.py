@@ -39,6 +39,7 @@ from diffusion_tpu.parallel import dist
 from diffusion_tpu.parallel.mesh import create_mesh
 from diffusion_tpu.parallel.sharding import (activation_mesh, batch_spec,
                                              make_global_batch,
+                                             model_tp_head_dim,
                                              param_shardings, replicated)
 from diffusion_tpu.train import checkpoint as ckpt
 from diffusion_tpu.train.events import Algorithm, Callback, Event, EventEngine
@@ -280,8 +281,13 @@ class Trainer:
         init_rng = jax.random.key(self.seed)
         abstract = jax.eval_shape(
             lambda r: model.init_params(r, image_size=self.image_size), init_rng)
+        # head width for the Megatron head gate: stages whose head count
+        # doesn't divide by tp keep replicated q/k/v/to_out kernels
+        # (parallel/sharding.py table comment — SD2's 5-head stage at tp=2)
+        tp_hd = model_tp_head_dim(model)
         params_sh = param_shardings(abstract[0], mesh, shard=True,
-                                    min_size=self.fsdp_min_size)
+                                    min_size=self.fsdp_min_size,
+                                    tp_head_dim=tp_hd)
         frozen_sh = param_shardings(abstract[1], mesh, shard=False)
         # single device: plain executables (identical semantics; some PJRT
         # runtimes run SPMD-annotated programs far slower)
@@ -307,7 +313,8 @@ class Trainer:
 
         opt_abstract = jax.eval_shape(self.tx.init, abstract[0])
         opt_sh = param_shardings(opt_abstract, mesh, shard=True,
-                                 min_size=self.fsdp_min_size)
+                                 min_size=self.fsdp_min_size,
+                                 tp_head_dim=tp_hd)
         opt_state = jax.jit(self.tx.init,
                             out_shardings=None if self._plain else opt_sh)(params)
         self.opt_shardings = opt_sh

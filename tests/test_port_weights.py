@@ -42,7 +42,11 @@ def _unet_to_torch_name(path):
             proj = "to_out.0" if proj == "to_out" else proj
             return f"transformer_blocks.{d}.{inner}.{proj}.{kind}"
         if inner == "ff":
-            sub = {"proj_in": "net.0.proj", "proj_out": "net.2"}[rest[2]]
+            # proj_in/proj_gate both come from the fused diffusers
+            # net.0.proj tensor (value first half, gate second — see
+            # port_hf.py); _fuse_geglu concatenates them back below
+            sub = {"proj_in": "net.0.proj", "proj_gate": "net.0.proj",
+                   "proj_out": "net.2"}[rest[2]]
             return f"transformer_blocks.{d}.ff.{sub}.{kind}"
         raise KeyError(path)
 
@@ -89,8 +93,20 @@ def test_unet_port_roundtrip():
     params = model.unet.init(jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
                              jnp.zeros((1,), jnp.int32), jnp.zeros((1, 5, 16)))
     flat = _flatten(params["params"])
-    torch_style = {_unet_to_torch_name(p): _to_torch_layout(a)
-                   for p, a in flat.items()}
+    torch_style = {}
+    for p, a in flat.items():
+        name = _unet_to_torch_name(p)
+        if "/ff/proj_in/" in p or "/ff/proj_gate/" in p:
+            # fuse value+gate back into diffusers' single 2*inner tensor:
+            # torch layout is (out, in), value rows first then gate rows
+            half = _to_torch_layout(a)
+            pair = torch_style.setdefault(name, [None, None])
+            pair[0 if "/proj_in/" in p else 1] = half
+            continue
+        torch_style[name] = _to_torch_layout(a)
+    for name, v in torch_style.items():
+        if isinstance(v, list):
+            torch_style[name] = np.concatenate(v, axis=0)
     ported = port_unet(torch_style)
     flat_back = _flatten(ported["params"])
     assert set(flat_back) == set(flat)

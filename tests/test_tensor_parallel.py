@@ -104,8 +104,9 @@ def test_param_shardings_follow_megatron_table():
         assert spec[0] == "tp", spec
     for spec in _leaf_specs(sh, "to_out", "bias"):
         assert "tp" not in jax.tree.leaves(tuple(spec)), spec
-    for spec in _leaf_specs(sh, "ff", "proj_in", "kernel"):
-        assert spec[1] == "tp", spec
+    for name in ("proj_in", "proj_gate"):
+        for spec in _leaf_specs(sh, "ff", name, "kernel"):
+            assert spec[1] == "tp", (name, spec)
     for spec in _leaf_specs(sh, "ff", "proj_out", "kernel"):
         assert spec[0] == "tp", spec
     # Transformer2D's spatial proj_in/proj_out (no `ff` parent) are NOT a
@@ -115,6 +116,78 @@ def test_param_shardings_follow_megatron_table():
         if (names[-2] in ("proj_in", "proj_out") and names[-1] == "kernel"
                 and "ff" not in names):
             assert "tp" not in tuple(s.spec), (names, s.spec)
+
+
+def test_odd_head_count_gates_attention_tp():
+    """SD2's top stage has 5 heads (models/unet.py:45): at tp=2 its q/k/v/
+    to_out kernels must stay tp-replicated (a contiguous shard would split
+    head 3 mid-features while ops/attention.py refuses to head-shard the
+    activations), while the GEGLU pair — no head structure — still shards.
+    param_spec's head gate (tp_head_dim) enforces this."""
+    from diffusion_tpu.models.unet import UNet2DCondition, UNetConfig
+    from diffusion_tpu.parallel.sharding import model_tp_head_dim
+
+    cfg = UNetConfig(in_channels=4, out_channels=4,
+                     block_out_channels=(40, 64), layers_per_block=1,
+                     block_has_attention=(True, True),
+                     attention_head_dim=(5, 8),  # stage 0: 5 heads, odd
+                     cross_attention_dim=16, norm_num_groups=8)
+    unet = UNet2DCondition(cfg)
+    assert cfg.head_dim == (8, 8)
+    params = unet.init(jax.random.key(0), np.zeros((1, 8, 8, 4), np.float32),
+                       np.zeros((1,), np.int32), np.zeros((1, 5, 16), np.float32))
+    mesh = create_mesh(dcn=1, fsdp=1, data=4, tp=2)
+    sh = param_shardings(params, mesh, shard=True, min_size=0, tp_head_dim=8)
+
+    def stage_specs(stage, *suffix):
+        out = []
+        for path, s in jtu.tree_leaves_with_path(sh):
+            names = [str(getattr(k, "key", getattr(k, "name", None)))
+                     for k in path]
+            if names[-len(suffix):] == list(suffix) and any(
+                    n.startswith((f"down_{stage}_attn", f"up_{1 - stage}_attn"))
+                    or (stage == 1 and n == "mid_attn") for n in names):
+                out.append(tuple(s.spec))
+        return out
+
+    # 5-head stage: every attention projection replicated over tp
+    for name in ("to_q", "to_k", "to_v", "to_out"):
+        specs = stage_specs(0, name, "kernel")
+        assert specs, name
+        for spec in specs:
+            assert "tp" not in spec, (name, spec)
+    # 8-head stage: head-sharded as usual
+    for name in ("to_q", "to_k", "to_v"):
+        for spec in stage_specs(1, name, "kernel"):
+            assert spec[1] == "tp", (name, spec)
+    # GEGLU shards in BOTH stages (inner dims 160/256 divide by 2)
+    for stage in (0, 1):
+        for name in ("proj_in", "proj_gate"):
+            specs = stage_specs(stage, "ff", name, "kernel")
+            assert specs, (stage, name)
+            for spec in specs:
+                assert spec[1] == "tp", (stage, name, spec)
+
+    # model_tp_head_dim reads the uniform width off the adapter's config
+    class _M:
+        pass
+    m = _M()
+    m.unet = unet
+    assert model_tp_head_dim(m) == 8
+
+
+def test_tp_bias_shards_despite_min_size():
+    """Column-parallel biases pair with tp-sharded kernels: the min_size
+    gate (an fsdp economy) must not leave them replicated against their
+    sharded outputs."""
+    mesh = create_mesh(dcn=1, fsdp=2, data=2, tp=2)
+    model = tiny_stable_diffusion()
+    params, _ = model.init_params(jax.random.key(0), image_size=SIZE)
+    sh = param_shardings(params, mesh, shard=True, min_size=2 ** 16)
+    specs = _leaf_specs(sh, "ff", "proj_in", "bias")
+    assert specs
+    for spec in specs:
+        assert spec[0] == "tp", spec
 
 
 def test_mesh_config_reaches_tp():
