@@ -70,7 +70,7 @@ def build_streaming_cocoval_dataloader(
     num_workers: int = 8,
     prefetch_factor: int = 2,
     persistent_workers: bool = True,
-    worker_type: str = "thread",
+    worker_type: str = "auto",
     pin_memory: bool = True,
     **_: Any,
 ) -> DataLoader:

@@ -81,8 +81,23 @@ class DataLoader:
                  worker_type: str = "thread",
                  **_: Any):
         del pin_memory  # CUDA-ism; no TPU meaning
+        if worker_type == "auto":
+            # measured on a 1-core v5e host (assets/input_pipeline_*.json):
+            # process fan-out is SLOWER than threads there (56.9 vs 63.4
+            # img/s — spawn + pickle overhead with no parallelism to win).
+            # With the native JPEG path (csrc/dataio.cpp) the decode
+            # releases the GIL, so threads scale across cores too and
+            # processes only pay IPC; processes are the fallback for
+            # multi-core hosts stuck on pure-Python (PIL) decode.
+            from diffusion_tpu.data.native import jpeg_native_available
+            import os as _os
+            multi_core = (_os.cpu_count() or 1) > 1
+            worker_type = ("process"
+                           if multi_core and not jpeg_native_available()
+                           else "thread")
         if worker_type not in ("thread", "process"):
-            raise ValueError(f"worker_type must be thread|process: {worker_type}")
+            raise ValueError(
+                f"worker_type must be thread|process|auto: {worker_type}")
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.drop_last = drop_last

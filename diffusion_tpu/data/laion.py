@@ -66,7 +66,7 @@ def build_streaming_laion_dataloader(
     num_workers: int = 8,
     prefetch_factor: int = 2,
     persistent_workers: bool = True,
-    worker_type: str = "thread",
+    worker_type: str = "auto",
     pin_memory: bool = True,
     predownload: int = 100_000,
     download_retry: int = 2,

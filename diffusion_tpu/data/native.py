@@ -16,7 +16,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["tar_index", "mds_sample_table", "native_available"]
+__all__ = ["tar_index", "mds_sample_table", "native_available",
+           "jpeg_decode_square", "jpeg_native_available"]
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libdataio.so")
 _lib = None
@@ -44,6 +45,10 @@ def _load():
             ctypes.c_char_p, ctypes.c_uint64,
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
             ctypes.c_uint32]
+        lib.jpeg_decode_square.restype = ctypes.c_int
+        lib.jpeg_decode_square.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float)]
         _lib = lib
     except OSError:
         _lib = False
@@ -88,6 +93,43 @@ def tar_index(path: str) -> List[Tuple[str, int, int]]:
         finally:
             del view  # release buffer export before closing the mmap
             mm.close()
+
+
+_JPEG_MAGIC = b"\xff\xd8"
+
+
+def jpeg_native_available() -> bool:
+    """True when the compiled library can decode JPEGs (built with
+    -DHAVE_JPEG against libjpeg/-turbo)."""
+    lib = _load()
+    if not lib:
+        return False
+    # a no-JPEG build stubs the symbol to return -100
+    out = (ctypes.c_float * 3)()
+    return lib.jpeg_decode_square(_JPEG_MAGIC, 2, 1, 1, out) != -100
+
+
+def jpeg_decode_square(data: bytes, size: int,
+                       min_short: Optional[int] = None) -> Optional[np.ndarray]:
+    """Decode a JPEG and return the LargestCenterSquare crop resized to
+    (size, size, 3) float32 in [-1, 1] — the whole SD train-input transform
+    (reference datasets/laion/transforms.py:9-21 + Normalize(0.5, 0.5)) in
+    one GIL-releasing native call. Returns None when the native path is
+    unavailable or declines the stream (corrupt data, CMYK, non-JPEG):
+    callers fall back to the tolerant PIL path.
+
+    `min_short` is the smallest acceptable decoded short side for libjpeg
+    DCT scaling (defaults to `size`; pass 2*size for PIL-draft-quality
+    headroom)."""
+    lib = _load()
+    if not lib or not isinstance(data, (bytes, bytearray)) \
+            or not bytes(data[:2]) == _JPEG_MAGIC:
+        return None
+    out = np.empty((size, size, 3), np.float32)
+    rc = lib.jpeg_decode_square(
+        bytes(data), len(data), size, int(min_short or size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out if rc == 0 else None
 
 
 def mds_sample_table(buf: bytes) -> Optional[np.ndarray]:

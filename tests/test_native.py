@@ -84,3 +84,109 @@ def test_malformed_tar_tolerated(tmp_path):
         f.write(b"Z" * 100 + b"\x00" * 412)  # one garbage header, truncated
     entries = native.tar_index(path)  # no crash; at most junk zero-size rows
     assert all(size == 0 for _, _, size in entries)
+
+
+# ---- native JPEG decode (csrc/dataio.cpp jpeg_decode_square) ---------------
+
+def _smooth_jpeg(w, h, quality=92):
+    """Synthetic smooth RGB image (hard edges would amplify codec diffs)."""
+    import io
+
+    from PIL import Image
+    x = (np.linspace(0, 8 * np.pi, w)[None, :]
+         + np.linspace(0, 6 * np.pi, h)[:, None])
+    arr = np.stack([127.5 + 120 * np.sin(x),
+                    127.5 + 120 * np.cos(0.7 * x),
+                    127.5 + 120 * np.sin(0.3 * x + 1)], -1).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+@pytest.mark.skipif(not native.jpeg_native_available(),
+                    reason="libdataio built without libjpeg")
+@pytest.mark.parametrize("wh", [(640, 480), (300, 500), (64, 64), (90, 120)])
+def test_jpeg_decode_square_matches_pil_transform(wh):
+    """Native decode+LargestCenterSquare+normalize == the PIL path at the
+    SAME (full) decode scale within JPEG/resample rounding. (At reduced DCT
+    scales the two legitimately diverge: libjpeg does any N/8, PIL draft
+    only powers of two.)"""
+    import io
+
+    from PIL import Image
+
+    from diffusion_tpu.data.transforms import SDSquareNormalize
+
+    data = _smooth_jpeg(*wh)
+    size = 56
+    img = Image.open(io.BytesIO(data))
+    want = SDSquareNormalize(size)(img.convert("RGB"))
+    got = native.jpeg_decode_square(data, size, min_short=10 ** 6)
+    assert got is not None and got.shape == (size, size, 3)
+    assert got.dtype == np.float32
+    # [-1, 1] units: 0.03 ~= 4/255 (PIL uses fixed-point resample coeffs)
+    np.testing.assert_allclose(got, want, atol=0.03)
+
+
+@pytest.mark.skipif(not native.jpeg_native_available(),
+                    reason="libdataio built without libjpeg")
+def test_jpeg_decode_square_reduced_scale_close():
+    """The default fast path (DCT-scaled decode straight to the target) is
+    a faithful low-pass of the full-decode reference — content, not exact
+    pixels."""
+    data = _smooth_jpeg(612, 408)
+    size = 56
+    ref = native.jpeg_decode_square(data, size, min_short=10 ** 6)
+    fast = native.jpeg_decode_square(data, size)  # N/8 DCT scale engaged
+    assert float(np.abs(fast - ref).mean()) < 0.05
+
+
+@pytest.mark.skipif(not native.jpeg_native_available(),
+                    reason="libdataio built without libjpeg")
+def test_jpeg_decode_square_declines_bad_inputs():
+    assert native.jpeg_decode_square(b"\x89PNG\r\n", 32) is None   # not JPEG
+    assert native.jpeg_decode_square(b"\xff\xd8\xff\xe0junk", 32) is None
+    # truncated-but-valid-prefix stream: no crash — either graceful None or
+    # a partial decode (libjpeg pads with EOI, the same tolerance PIL's
+    # LOAD_TRUNCATED_IMAGES gives, reference wds_datapipe.py:31)
+    data = _smooth_jpeg(200, 200)
+    out = native.jpeg_decode_square(data[: len(data) // 3], 32)
+    assert out is None or (out.shape == (32, 32, 3)
+                           and np.isfinite(out).all())
+
+
+def test_image_caption_loader_native_pil_agree(tmp_path):
+    """The MDS loader yields the same tensors with the native decode on and
+    off (DIFFUSION_TPU_NATIVE_JPEG gate) within codec tolerance."""
+    import os
+
+    from diffusion_tpu.data.image_caption import (
+        build_streaming_image_caption_dataloader)
+    from diffusion_tpu.data.mds import MDSWriter
+
+    out = str(tmp_path / "mds")
+    with MDSWriter(out, {"image": "bytes", "caption": "str"}) as w:
+        for i in range(8):
+            w.write({"image": _smooth_jpeg(120 + 8 * i, 100 + 4 * i),
+                     "caption": f"sample {i}"})
+
+    def batches(native_on):
+        os.environ["DIFFUSION_TPU_NATIVE_JPEG"] = "1" if native_on else "0"
+        try:
+            loader = build_streaming_image_caption_dataloader(
+                remote=out, batch_size=8, resize_size=48, shuffle=False,
+                num_workers=1, persistent_workers=False)
+            return next(iter(loader))
+        finally:
+            os.environ.pop("DIFFUSION_TPU_NATIVE_JPEG", None)
+
+    a, b = batches(True), batches(False)
+    assert a["image"].shape == b["image"].shape == (8, 48, 48, 3)
+    np.testing.assert_array_equal(a["captions"], b["captions"])
+    if native.jpeg_native_available():
+        # native decodes at 1x DCT headroom vs PIL's 2x draft: small-block
+        # detail differs, so compare loosely — the contract is [-1,1] range
+        # and the same image content
+        assert np.abs(a["image"] - b["image"]).mean() < 0.08
+    else:
+        np.testing.assert_array_equal(a["image"], b["image"])
