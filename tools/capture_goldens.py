@@ -96,9 +96,22 @@ UNET_GOLDENS = {
     "unet_golden_pixel.npz": dict(spec=PIXEL_UNET_SPEC, hw=(16, 16),
                                   ctx_len=7),
 }
+# width-changing blocks: the production VAE (128->256->512) puts 1x1
+# conv_shortcut projections in its resnets — tests/test_port_coverage.py
+# requires a fixture exercising those port rules
+WIDTHS_VAE_SPEC = dict(
+    in_channels=3,
+    out_channels=3,
+    latent_channels=4,
+    block_out_channels=(8, 16, 16, 24),
+    layers_per_block=1,
+    norm_num_groups=4,
+)
+
 VAE_GOLDENS = {
     "vae_golden.npz": dict(spec=TINY_VAE_SPEC, hw=(32, 32)),
     "vae_golden_asym.npz": dict(spec=TINY_VAE_SPEC, hw=(32, 48)),
+    "vae_golden_widths.npz": dict(spec=WIDTHS_VAE_SPEC, hw=(32, 32)),
 }
 
 
