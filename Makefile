@@ -2,7 +2,8 @@
 # test / test-tpu, plus the distributed target the reference declared but
 # never implemented — here it actually runs the 8-device dry run).
 
-.PHONY: test test-fast test-tpu test-dist bench bench-data lint
+.PHONY: test test-fast test-tpu test-dist bench bench-data lint audit-spmd \
+	profile-step
 
 test:
 	python -m pytest tests/ -x -q
@@ -26,6 +27,16 @@ bench:
 # host-side input-pipeline throughput (decoded img/s vs per-chip demand)
 bench-data:
 	BENCH_DATA=1 python bench.py
+
+# full-geometry SPMD audit: AOT-compile the 866M train step on the 8-device
+# virtual mesh for every shipped mesh family; fails on partitioner
+# rematerialization fallbacks, writes assets/spmd_audit.json
+audit-spmd:
+	python tools/audit_spmd.py
+
+# per-phase step timing + MFU breakdown on the real chip
+profile-step:
+	python tools/profile_step.py
 
 # real lint: ruff when installed (CI installs it; [tool.ruff] in
 # pyproject.toml), else the in-image AST checker — either FAILS on an

@@ -18,7 +18,7 @@ from typing import Any, Callable, Optional
 import jax
 
 __all__ = ["lowered_flops", "traced_flops", "jaxpr_flops",
-           "device_peak_flops"]
+           "jaxpr_flops_by_class", "device_peak_flops"]
 
 
 def lowered_flops(fn: Callable, *args: Any, **kwargs: Any) -> float:
@@ -108,6 +108,43 @@ def jaxpr_flops(jaxpr) -> float:
                     total += jaxpr_flops(sub)
                     break
     return total
+
+
+def jaxpr_flops_by_class(jaxpr) -> dict:
+    """Like jaxpr_flops but split {'dot': …, 'conv': …, 'flash': …} — the
+    MXU-work composition of a step (tools/profile_step.py uses this to say
+    where the FLOPs go)."""
+    jaxpr = getattr(jaxpr, "jaxpr", jaxpr)
+    out = {"dot": 0.0, "conv": 0.0, "flash": 0.0}
+
+    def add(d):
+        for k in out:
+            out[k] += d.get(k, 0.0)
+
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "dot_general":
+            out["dot"] += _dot_flops(eqn)
+        elif name == "conv_general_dilated":
+            out["conv"] += _conv_flops(eqn)
+        elif name == "pallas_call":
+            out["flash"] += _pallas_flops(eqn)
+        elif name == "scan":
+            sub = jaxpr_flops_by_class(eqn.params["jaxpr"])
+            add({k: eqn.params["length"] * v for k, v in sub.items()})
+        elif name == "cond":
+            subs = [jaxpr_flops_by_class(b) for b in eqn.params["branches"]]
+            if subs:
+                add(max(subs, key=lambda d: sum(d.values())))
+        elif name == "while":
+            add(jaxpr_flops_by_class(eqn.params["body_jaxpr"]))
+        else:
+            for key in ("jaxpr", "call_jaxpr"):
+                sub = eqn.params.get(key) if eqn.params else None
+                if sub is not None:
+                    add(jaxpr_flops_by_class(sub))
+                    break
+    return out
 
 
 def traced_flops(fn: Callable, *args: Any, **kwargs: Any) -> float:

@@ -56,8 +56,10 @@ def test_bench_emits_driver_contract(tmp_path):
     assert result["metric"].startswith("trainer_e2e_throughput")
     assert result["flops_per_batch"] > 0
     assert result["e2e_steps_timed"] > 0
-    # the convergence phase merged its keys into the one driver line
+    # the convergence phase merged its keys into the one driver line,
+    # including the held-out generalization probe
     for key in ("loss_start", "loss_end", "ema_loss", "converge_steps",
+                "converge_val_mse", "converge_val_samples",
                 "sample_nn_mse", "caption_match_frac"):
         assert key in result, (key, result)
     assert result["converge_steps"] == 6
