@@ -70,7 +70,6 @@ def main() -> None:
 
     params = jax.jit(init_unet)(rng)
     tx = optax.adamw(1e-4, weight_decay=0.01, mu_dtype=jnp.bfloat16)
-    opt_state = jax.jit(tx.init)(params)
     gen = np.random.default_rng(0)
     batch = {
         "image_latents": jnp.asarray(gen.normal(size=(bsz, lat, lat, 4))
@@ -96,39 +95,71 @@ def main() -> None:
         p = optax.apply_updates(p, updates)
         return p, o
 
-    # one set of live grads for the opt-only phase
-    _, grads = jax.jit(grad_fn)(params, batch, rng)
-
-    def timeit(fn, fetch, *fargs, steps=args.steps):
-        f = jax.jit(fn) if not hasattr(fn, "lower") else fn
+    def timeit(f, fetch, *fargs, steps=args.steps, reassign=None):
+        """(median time, final args). `reassign(out) -> new fargs-prefix`
+        for donated phases (the returned state feeds the next call, as the
+        bench/trainer do — donation keeps HBM flat)."""
+        fargs = list(fargs)
         out = f(*fargs)
         float(np.asarray(fetch(out)))  # compile + sync
+        if reassign:
+            fargs[:len(reassign(out))] = reassign(out)
+        out = None  # free the result tree BEFORE the next dispatch — the
+        # old grads (3.5 GB) alive alongside the new call's OOMs the chip
         ts = []
-        for i in range(steps):
+        for _ in range(steps):
             t0 = time.perf_counter()
             out = f(*fargs)
             float(np.asarray(fetch(out)))
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+            if reassign:
+                fargs[:len(reassign(out))] = reassign(out)
+            out = None
+        return float(np.median(ts)), fargs
 
     report = {"res": res, "batch": bsz, "remat": remat,
               "device": jax.local_devices()[0].device_kind}
 
-    t_fwd = timeit(loss_fn, lambda o: o, params, batch, rng)
-    t_bwd = timeit(grad_fn, lambda o: o[0], params, batch, rng)
-    t_step = timeit(step_fn, lambda o: o[2], params, opt_state, batch, rng)
-    t_opt = timeit(opt_fn, lambda o: jax.tree.leaves(o[0])[0].ravel()[0],
-                   params, opt_state, grads)
-
-    # MXU-work composition per phase (traced jaxpr — includes remat
-    # recompute, i.e. EXECUTED flops)
+    # MXU-work composition per phase first (host-only tracing — the arrays
+    # get donated away during the timed phases below). Traced jaxprs
+    # include remat recompute, i.e. EXECUTED flops.
+    opt_abs = jax.eval_shape(tx.init, params)
     fl_fwd = jaxpr_flops_by_class(jax.make_jaxpr(loss_fn)(params, batch, rng))
     fl_bwd = jaxpr_flops_by_class(jax.make_jaxpr(grad_fn)(params, batch, rng))
     fl_step = jaxpr_flops_by_class(
-        jax.make_jaxpr(step_fn)(params, opt_state, batch, rng))
-
+        jax.make_jaxpr(step_fn)(params, opt_abs, batch, rng))
     peak = device_peak_flops() or 0.0
     n_params = sum(x.size for x in jax.tree.leaves(params))
+
+    # phase order bounds residency on the 16 GB chip: fwd/bwd run before
+    # the optimizer state exists; the fused step and opt-only phases donate
+    # (params, opt) exactly like the production step (bench.py/trainer)
+    t_fwd, _ = timeit(jax.jit(loss_fn), lambda o: o, params, batch, rng)
+    t_bwd, _ = timeit(jax.jit(grad_fn), lambda o: o[0], params, batch, rng)
+    opt_state = jax.jit(tx.init)(params)
+    t_step, fin = timeit(jax.jit(step_fn, donate_argnums=(0, 1)),
+                         lambda o: o[2], params, opt_state, batch, rng,
+                         reassign=lambda o: [o[0], o[1]])
+    params, opt_state = fin[0], fin[1]  # live post-donation state
+    del fin
+    # grads for the opt-only phase from a 4-row batch: grad SHAPES are
+    # batch-independent, and the full-batch backward no longer fits next
+    # to the live optimizer state (params 3.5 + opt 5.25 + grads 3.5 +
+    # full activations ~3.5 = the whole 15.75 GB)
+    small = {k: v[:4] for k, v in batch.items()}
+    loss_g, grads = jax.jit(grad_fn)(params, small, rng)
+    # drain the grad program fully before the opt dispatch: the relay's
+    # async queue otherwise overlaps its workspace with the opt compile
+    float(np.asarray(loss_g))
+    float(np.asarray(jax.tree.leaves(grads)[0].ravel()[0]))
+    try:
+        t_opt, _ = timeit(jax.jit(opt_fn, donate_argnums=(0, 1)),
+                          lambda o: jax.tree.leaves(o[0])[0].ravel()[0],
+                          params, opt_state, grads,
+                          reassign=lambda o: [o[0], o[1]])
+    except Exception as exc:  # noqa: BLE001 — keep the 3 main phases
+        sys.stderr.write(f"opt-only phase failed: {exc}\n")
+        t_opt = 0.0
 
     def phase(name, t, fl):
         tot = sum(fl.values())
