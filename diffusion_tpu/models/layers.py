@@ -43,7 +43,14 @@ Dtype = Any
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm with fp32 statistics regardless of compute dtype."""
+    """GroupNorm with fp32 statistics regardless of compute dtype.
+
+    `act='silu'` fuses the following SiLU into the same op — on TPU the
+    whole GroupNorm-SiLU runs as a single-HBM-read Pallas kernel
+    (ops/groupnorm.py, the BASELINE.json fused-block north star); off-TPU
+    it is the equivalent XLA program. The affine params live here either
+    way, so checkpoints are layout-identical whichever path executes.
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-5
@@ -51,30 +58,16 @@ class GroupNorm(nn.Module):
     # ALWAYS computes statistics in fp32 and returns the input's dtype
     # (the low-precision-norm policy) — this field does not change compute
     dtype: Dtype = jnp.float32
+    act: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from diffusion_tpu.ops.groupnorm import group_norm
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        orig_dtype = x.dtype
-        # anchor both sides of the group reshapes: without explicit specs
-        # SPMD propagation wanders here (fwd AND transpose/bwd), and the
-        # partitioner falls back to replicate-then-repartition
-        x = constrain_batch(x.astype(jnp.float32))
-        g = self.num_groups
-        # split ONLY the channel (minormost) dim: batch/spatial dims keep
-        # their shapes, so pjit shardings propagate through the reshape
-        # (flattening spatial forced SPMD into full rematerialization on
-        # multi-axis meshes)
-        xg = constrain_batch(x.reshape(*x.shape[:-1], g, c // g))
-        reduce_axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
-        mean = jnp.mean(xg, axis=reduce_axes, keepdims=True)
-        var = jnp.var(xg, axis=reduce_axes, keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        x = constrain_batch(xg.reshape(*x.shape[:-1], c))
-        x = x * scale + bias
-        return x.astype(orig_dtype)
+        return group_norm(x, scale, bias, self.num_groups, self.epsilon,
+                          act=self.act)
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int,
@@ -129,8 +122,8 @@ class ResnetBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None,
                  deterministic: Optional[bool] = None) -> jnp.ndarray:
         residual = x
-        h = GroupNorm(self.groups, self.epsilon, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(self.groups, self.epsilon, dtype=self.dtype,
+                      act="silu", name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         # named so remat policies can save conv outputs: convs are MXU work
@@ -140,9 +133,14 @@ class ResnetBlock(nn.Module):
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
-            h = h + t[:, None, None, :]
-        h = GroupNorm(self.groups, self.epsilon, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+            # pin the broadcast operand's batch sharding to h's: without it
+            # the partitioner sees (B,1,1,C) carrying only the producer's
+            # (weaker) batch sharding and falls back to replicate-then-
+            # repartition on every block (tiny tensors, but 81 'involuntary
+            # full rematerialization' warnings per step — assets/spmd_audit)
+            h = h + constrain_batch(t[:, None, None, :])
+        h = GroupNorm(self.groups, self.epsilon, dtype=self.dtype,
+                      act="silu", name="norm2")(h)
         if self.dropout > 0.0:
             det = self.deterministic if deterministic is None else deterministic
             h = nn.Dropout(self.dropout)(h, deterministic=det)

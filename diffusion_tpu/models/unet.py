@@ -118,6 +118,11 @@ class UNet2DCondition(nn.Module):
         time_embed_dim = cfg.block_out_channels[0] * 4
         temb = TimestepEmbedding(time_embed_dim, dtype=self.dtype,
                                  name="time_embedding")(temb.astype(self.dtype))
+        # anchor temb's batch sharding once here: every ResnetBlock consumes
+        # it, and an unconstrained (B, 4C) tensor otherwise inherits whatever
+        # the sinusoidal producer had, misaligned with the activations'
+        # full batch sharding (see assets/spmd_audit.json provenance)
+        temb = constrain_batch(temb)
 
         context = encoder_hidden_states.astype(self.dtype)
         h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
@@ -195,8 +200,8 @@ class UNet2DCondition(nn.Module):
                              name=f"up_{i}_upsample")(h)
                 h = constrain_batch(h)
 
-        h = GroupNorm(cfg.norm_num_groups, dtype=self.dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(cfg.norm_num_groups, dtype=self.dtype, act="silu",
+                      name="conv_norm_out")(h)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_out")(h)
         return h.astype(jnp.float32)

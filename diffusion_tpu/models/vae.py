@@ -119,8 +119,7 @@ class Encoder(nn.Module):
         h = ResnetBlock(mid, use_time_emb=False, groups=cfg.norm_num_groups,
                         epsilon=1e-6, dtype=self.dtype, name="mid_res_1")(h)
         h = GroupNorm(cfg.norm_num_groups, 1e-6, dtype=self.dtype,
-                      name="conv_norm_out")(h)
-        h = nn.silu(h)
+                      act="silu", name="conv_norm_out")(h)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
                        dtype=self.dtype, name="conv_out")(h)
 
@@ -149,8 +148,7 @@ class Decoder(nn.Module):
             if i < n - 1:
                 h = Upsample(out_ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)
         h = GroupNorm(cfg.norm_num_groups, 1e-6, dtype=self.dtype,
-                      name="conv_norm_out")(h)
-        h = nn.silu(h)
+                      act="silu", name="conv_norm_out")(h)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(h).astype(jnp.float32)
 
